@@ -1,0 +1,163 @@
+"""Brute-force k-nearest-neighbour search on the MXU.
+
+TPU-native replacement for BiocNeighbors' C++ kNN (KMKNN et al.), used by the
+reference for MNN detection (R/MNN_tree.R:129), tricube neighbour search
+(R/fastMNN.R:605) and clusterMNN sigmas (R/clusterMNN.R:276).
+
+Design: the pairwise squared-distance block ||q||^2 + ||x||^2 - 2 q x^T is a
+matmul (MXU work). Queries are processed in tiles; the data axis is streamed
+in tiles with a running top-k merge (the flash-attention pattern applied to
+k-selection), so the full N_q x N_d distance matrix never materializes.
+Exact, deterministic (ties broken towards the lower data index), and
+mask-aware so padded rows can be excluded.
+
+A Pallas fused kernel for the distance+top-k tile lives in
+``knn_pallas.py``; this module is the portable XLA path and the dispatcher.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["query_knn", "KNNResult"]
+
+# Rows per query tile / data tile. Multiples of the fp32 (8, 128) TPU tile.
+_QUERY_TILE = 1024
+_DATA_TILE = 8192
+
+
+def _pad_rows(x: jnp.ndarray, multiple: int, value=0.0) -> jnp.ndarray:
+    n = x.shape[0]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return x
+    pad_width = [(0, target - n)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad_width, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _knn_tiled(
+    query: jnp.ndarray,
+    data: jnp.ndarray,
+    k: int,
+    data_valid: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact kNN: tiled scores with running top-k merge.
+
+    ``data_valid``: boolean mask over data rows (False rows are excluded).
+    Returns (indices, sqdist) of shape (n_query, k), neighbours sorted by
+    ascending distance.
+    """
+    nq, d = query.shape
+    nd = data.shape[0]
+    # Accumulate in at least fp32; keep fp64 when inputs are fp64 (oracle
+    # parity on CPU). On TPU inputs are fp32/bf16 and this stays fp32.
+    acc_t = jnp.promote_types(query.dtype, jnp.float32)
+
+    qn = jnp.sum(jnp.square(query.astype(acc_t)), axis=1, keepdims=True)
+    dn = jnp.sum(jnp.square(data.astype(acc_t)), axis=1)
+
+    dpad = _pad_rows(data, _DATA_TILE)
+    dn_pad = _pad_rows(dn, _DATA_TILE)
+    valid_pad = _pad_rows(data_valid, _DATA_TILE, value=False)
+    n_dtiles = dpad.shape[0] // _DATA_TILE
+
+    d_tiles = dpad.reshape(n_dtiles, _DATA_TILE, d)
+    dn_tiles = dn_pad.reshape(n_dtiles, _DATA_TILE)
+    valid_tiles = valid_pad.reshape(n_dtiles, _DATA_TILE)
+    bases = jnp.arange(n_dtiles, dtype=jnp.int32) * _DATA_TILE
+    tile_iota = jnp.arange(_DATA_TILE, dtype=jnp.int32)
+
+    qpad = _pad_rows(query, _QUERY_TILE)
+    qn_pad = _pad_rows(qn, _QUERY_TILE)
+    n_qtiles = qpad.shape[0] // _QUERY_TILE
+    q_tiles = qpad.reshape(n_qtiles, _QUERY_TILE, d)
+    qn_tiles = qn_pad.reshape(n_qtiles, _QUERY_TILE, 1)
+
+    def one_query_tile(args):
+        qt, qnt = args  # (T, d), (T, 1)
+
+        def merge_tile(carry, tile):
+            best_s, best_i = carry  # (T, k) scores (desc), (T, k) indices
+            dt, dnt, vt, base = tile
+            # score = -||q - x||^2; larger is closer.
+            prod = jnp.dot(qt.astype(acc_t), dt.astype(acc_t).T,
+                           preferred_element_type=acc_t)
+            score = 2.0 * prod - dnt[None, :] - qnt
+            score = jnp.where(vt[None, :], score, -jnp.inf)
+            cand_i = base + tile_iota
+            all_s = jnp.concatenate([best_s, score], axis=1)
+            all_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(cand_i[None, :], score.shape)], axis=1
+            )
+            top_s, top_pos = lax.top_k(all_s, k)
+            top_i = jnp.take_along_axis(all_i, top_pos, axis=1)
+            return (top_s, top_i), None
+
+        init = (
+            jnp.full((qt.shape[0], k), -jnp.inf, acc_t),
+            jnp.zeros((qt.shape[0], k), jnp.int32),
+        )
+        (best_s, best_i), _ = lax.scan(
+            merge_tile, init, (d_tiles, dn_tiles, valid_tiles, bases)
+        )
+        return best_i, -best_s
+
+    idx, sq = lax.map(one_query_tile, (q_tiles, qn_tiles))
+    idx = idx.reshape(-1, k)[:nq]
+    sq = sq.reshape(-1, k)[:nq]
+    return idx, jnp.maximum(sq, 0.0)
+
+
+class KNNResult(tuple):
+    """(indices, distances) pair; distances are Euclidean (not squared)."""
+
+    __slots__ = ()
+
+    def __new__(cls, indices, distances):
+        return tuple.__new__(cls, (indices, distances))
+
+    @property
+    def indices(self):
+        return self[0]
+
+    @property
+    def distances(self):
+        return self[1]
+
+
+def query_knn(
+    query: jnp.ndarray,
+    data: jnp.ndarray,
+    k: int,
+    *,
+    n_data_valid: Optional[int] = None,
+    data_mask: Optional[jnp.ndarray] = None,
+    squared: bool = False,
+) -> KNNResult:
+    """For each row of ``query``, the ``k`` nearest rows of ``data``.
+
+    Equivalent of BiocNeighbors::queryKNN for the dense exact case. ``k``
+    must not exceed the number of valid data rows. ``n_data_valid`` or
+    ``data_mask`` exclude padded/invalid data rows (excluded rows come back
+    with +inf distance only if k exceeds the valid count, which is an error
+    on the caller's part).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    query = jnp.asarray(query)
+    data = jnp.asarray(data)
+    nd = data.shape[0]
+    if data_mask is not None:
+        valid = jnp.asarray(data_mask, dtype=bool)
+    elif n_data_valid is not None:
+        valid = jnp.arange(nd) < n_data_valid
+    else:
+        valid = jnp.ones((nd,), dtype=bool)
+    idx, sq = _knn_tiled(query, data, k, valid)
+    dist = sq if squared else jnp.sqrt(sq)
+    return KNNResult(idx, dist)
