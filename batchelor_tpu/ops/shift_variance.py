@@ -1,0 +1,146 @@
+"""Quantile-matching variance adjustment of correction vectors.
+
+TPU-native replacement for the reference's C++ kernel
+(src/adjust_shift_variance.cpp:29-164), the anti-"kissing" scaling of
+classic mnnCorrect. The per-cell loop with inner O(N) passes becomes a set
+of dense MXU matmuls over (N2 x N2) and (N2 x N1) blocks plus a sorted
+log-space cumulative sum (associative scan).
+
+For each cell c of batch 2 with correction vector v_c:
+  * project every batch-2 cell onto g_c = v_c/||v_c||; weight each by a
+    Gaussian kernel on its squared distance to the line through c along g_c;
+  * the cell's within-batch quantile = weighted fraction of (restricted)
+    batch-2 cells with projection <= its own;
+  * find the matching weighted quantile among (restricted) batch-1 cells'
+    projections; the scaling is (ref_quantile - own_projection)/||v_c||.
+Scaling is clamped to >= 1 by the caller (reference R/mnnCorrect.R:479).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["adjust_shift_variance"]
+
+
+@jax.jit
+def _adjust(
+    data1: jnp.ndarray,       # (N1, G)
+    data2: jnp.ndarray,       # (N2, G)
+    correction: jnp.ndarray,  # (N2, G)
+    sigma2: jnp.ndarray,
+    mask1: jnp.ndarray,       # (N1,) bool: restrict1
+    mask2: jnp.ndarray,       # (N2,) bool: restrict2
+):
+    acc = jnp.promote_types(data1.dtype, jnp.float32)
+    d1 = data1.astype(acc)
+    d2 = data2.astype(acc)
+    corr = correction.astype(acc)
+
+    l2 = jnp.sqrt(jnp.sum(jnp.square(corr), axis=1))           # (N2,)
+    grads = jnp.where(l2[:, None] > 0, corr / jnp.where(l2 == 0, 1.0, l2)[:, None], corr)
+
+    sq2 = jnp.sum(jnp.square(d2), axis=1)
+    sq1 = jnp.sum(jnp.square(d1), axis=1)
+
+    P2 = grads @ d2.T                                          # P2[c,s] = g_c . x_s
+    curproj = jnp.diagonal(P2)                                 # (N2,)
+    G22 = d2 @ d2.T
+    # squared distance of x_s to the line through x_c along g_c
+    diff_par = curproj[:, None] - P2                           # g_c.(x_c - x_s)
+    dist2 = sq2[:, None] + sq2[None, :] - 2.0 * G22 - jnp.square(diff_par)
+    lp2 = -jnp.maximum(dist2, 0.0) / sigma2
+    n2 = d2.shape[0]
+    eye = jnp.eye(n2, dtype=bool)
+    lp2 = jnp.where(eye, 0.0, lp2)                             # self: log-prob 0
+    add_mask = (P2 <= curproj[:, None]) | eye
+    neg_inf = jnp.asarray(-jnp.inf, acc)
+    lp2_all = jnp.where(mask2[None, :], lp2, neg_inf)
+    lp2_add = jnp.where(add_mask, lp2_all, neg_inf)
+    num = jax.scipy.special.logsumexp(lp2_add, axis=1)
+    # empty numerator (cell outside restrict2 with no admissible same-batch
+    # cells): the C++ leaves the accumulator at log-prob 0
+    num = jnp.where(jnp.isneginf(num), 0.0, num)
+    prob2 = num - jax.scipy.special.logsumexp(lp2_all, axis=1)
+
+    P1 = grads @ d1.T                                          # (N2, N1)
+    C12 = d2 @ d1.T
+    diff_par1 = curproj[:, None] - P1
+    dist1 = sq2[:, None] + sq1[None, :] - 2.0 * C12 - jnp.square(diff_par1)
+    lw1 = jnp.where(mask1[None, :], -jnp.maximum(dist1, 0.0) / sigma2, neg_inf)
+    total1 = jax.scipy.special.logsumexp(lw1, axis=1)
+    target = prob2 + total1
+
+    # per-row sort by projection; excluded cells get +inf projection so they
+    # sort last with -inf weight (never reached before a valid crossing).
+    proj_sort_key = jnp.where(mask1[None, :], P1, jnp.inf)
+    order = jnp.argsort(proj_sort_key, axis=1)
+    proj_sorted = jnp.take_along_axis(proj_sort_key, order, axis=1)
+    lw_sorted = jnp.take_along_axis(lw1, order, axis=1)
+    cum = jax.lax.associative_scan(jnp.logaddexp, lw_sorted, axis=1)
+    crossed = cum >= target[:, None]
+    any_crossed = jnp.any(crossed, axis=1)
+    first = jnp.argmax(crossed, axis=1)
+    n_valid = jnp.sum(mask1).astype(jnp.int32)
+    last_valid = jnp.take_along_axis(
+        proj_sorted, jnp.full((n2, 1), n_valid - 1, jnp.int32), axis=1
+    )[:, 0]
+    ref_quan = jnp.where(
+        any_crossed,
+        jnp.take_along_axis(proj_sorted, first[:, None], axis=1)[:, 0],
+        last_valid,
+    )
+
+    scaling = (ref_quan - curproj) / l2
+    return scaling
+
+
+def adjust_shift_variance(
+    data1,
+    data2,
+    correction,
+    sigma2: float,
+    restrict1: Optional[np.ndarray] = None,
+    restrict2: Optional[np.ndarray] = None,
+    subset_row: Optional[np.ndarray] = None,
+):
+    """Per-cell scaled correction vectors (reference .adjust_shift_variance,
+    R/mnnCorrect.R:462-481).
+
+    data1/data2: (N1, G)/(N2, G) cell-row matrices; correction: (N2, G).
+    With ``subset_row``, locations are computed on the gene subset while the
+    returned scaling applies to the full correction. Scaling is clamped to
+    >= 1. Zero-norm correction vectors are left unscaled (scale 1; the C++
+    produces NaN there, which R's pmax then propagates — we instead define
+    the no-op).
+    """
+    data1 = jnp.asarray(data1)
+    data2 = jnp.asarray(data2)
+    correction = jnp.asarray(correction)
+    loc1, loc2, corr_loc = data1, data2, correction
+    if subset_row is not None:
+        s = jnp.asarray(np.asarray(subset_row))
+        loc1, loc2, corr_loc = data1[:, s], data2[:, s], correction[:, s]
+
+    n1, n2 = loc1.shape[0], loc2.shape[0]
+    m1 = np.zeros(n1, dtype=bool)
+    m2 = np.zeros(n2, dtype=bool)
+    if restrict1 is None:
+        m1[:] = True
+    else:
+        m1[np.asarray(restrict1)] = True
+    if restrict2 is None:
+        m2[:] = True
+    else:
+        m2[np.asarray(restrict2)] = True
+
+    scaling = _adjust(
+        loc1, loc2, corr_loc, jnp.asarray(sigma2, loc1.dtype), jnp.asarray(m1), jnp.asarray(m2)
+    )
+    scaling = jnp.where(jnp.isfinite(scaling), scaling, 1.0)
+    scaling = jnp.maximum(scaling, 1.0)
+    return scaling[:, None] * correction

@@ -174,7 +174,9 @@ def adjust_shift_variance(data1, data2, correction, sigma2, restrict1=None, rest
             total.append(lp)
             if add:
                 probs.append(lp)
-        prob2 = _logsumexp(np.array(probs)) - _logsumexp(np.array(total))
+        # empty numerator: the C++ leaves prob2 at its initial 0 (log-prob 0)
+        num = _logsumexp(np.array(probs)) if probs else 0.0
+        prob2 = num - _logsumexp(np.array(total))
 
         # reference batch weighted ECDF
         proj1 = np.array([grad @ data1[o] for o in restrict1])

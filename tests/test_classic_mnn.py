@@ -1,0 +1,158 @@
+"""Classic mnnCorrect tests (reference test-mnn-correct.R)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from batchelor_tpu.correct.classic_mnn import mnn_correct
+from batchelor_tpu.ops.gaussian_kernel import smooth_gaussian_kernel
+from batchelor_tpu.ops.shift_variance import adjust_shift_variance
+from batchelor_tpu.ops.svd import get_bio_span, subtract_bio
+
+
+def test_smooth_gaussian_kernel_vs_oracle(rng):
+    # reference test-mnn-correct.R:29-92 (dense-formula comparison)
+    data = rng.normal(size=(60, 12))
+    index = np.sort(rng.choice(60, size=15, replace=False))
+    averaged = rng.normal(size=(15, 12))
+    ours = np.asarray(smooth_gaussian_kernel(jnp.asarray(averaged), index, jnp.asarray(data), 0.1))
+    theirs = oracle.smooth_gaussian_kernel(averaged, index, data, 0.1)
+    assert np.allclose(ours, theirs, atol=1e-8)
+
+
+def test_smooth_gaussian_kernel_extreme_distances(rng):
+    # strong underflow regime: distances >> sigma
+    data = rng.normal(size=(30, 5)) * 100
+    index = np.arange(0, 30, 3)
+    averaged = rng.normal(size=(10, 5))
+    ours = np.asarray(smooth_gaussian_kernel(jnp.asarray(averaged), index, jnp.asarray(data), 0.1))
+    theirs = oracle.smooth_gaussian_kernel(averaged, index, data, 0.1)
+    assert np.isfinite(ours).all()
+    assert np.allclose(ours, theirs, atol=1e-6)
+
+
+def test_adjust_shift_variance_vs_oracle(rng):
+    # reference test-mnn-correct.R:95-174 (O(N^2) quantile-matching loop)
+    d1 = rng.normal(size=(40, 8))
+    d2 = rng.normal(size=(35, 8)) + 1
+    corr = rng.normal(size=(35, 8))
+    ours = np.asarray(adjust_shift_variance(jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(corr), 0.1))
+    osc = oracle.adjust_shift_variance(d1, d2, corr, 0.1)
+    expected = np.maximum(osc, 1.0)[:, None] * corr
+    assert np.allclose(ours, expected, atol=1e-6)
+
+
+def test_adjust_shift_variance_restricted(rng):
+    d1 = rng.normal(size=(30, 6))
+    d2 = rng.normal(size=(25, 6)) + 0.5
+    corr = rng.normal(size=(25, 6))
+    r1 = np.arange(0, 30, 2)
+    r2 = np.arange(0, 25, 3)
+    ours = np.asarray(
+        adjust_shift_variance(
+            jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(corr), 0.5,
+            restrict1=r1, restrict2=r2,
+        )
+    )
+    osc = oracle.adjust_shift_variance(d1, d2, corr, 0.5, restrict1=r1, restrict2=r2)
+    expected = np.maximum(osc, 1.0)[:, None] * corr
+    assert np.allclose(ours, expected, atol=1e-6)
+
+
+def test_bio_span_vs_svd(rng):
+    # reference test-mnn-correct.R:5-26 (prcomp rotation comparison)
+    x = rng.normal(size=(25, 40))
+    span = np.asarray(get_bio_span(jnp.asarray(x), 3))
+    centered = x - x.mean(axis=0)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    for j in range(3):
+        assert np.allclose(span[:, j], vt[j], atol=1e-8) or np.allclose(
+            span[:, j], -vt[j], atol=1e-8
+        )
+
+
+def test_subtract_bio_removes_components(rng):
+    x = rng.normal(size=(30, 20))
+    span = np.asarray(get_bio_span(jnp.asarray(x), 4))
+    corr = rng.normal(size=(10, 20))
+    out = np.asarray(subtract_bio(jnp.asarray(corr), jnp.asarray(span), jnp.asarray(span)))
+    assert np.allclose(out @ span, 0.0, atol=1e-8)
+
+
+def test_mnn_correct_basic(rng):
+    b1 = rng.normal(size=(80, 50))
+    b2 = rng.normal(size=(60, 50)) + 1
+    res = mnn_correct([jnp.asarray(b1), jnp.asarray(b2)])
+    assert res.corrected.shape == (140, 50)
+    assert np.array_equal(np.asarray(res.batch), np.repeat([0, 1], [80, 60]))
+    # first batch is the untouched reference (cosine-normalized)
+    expected_ref = oracle.cosine_norm(b1)
+    assert np.allclose(np.asarray(res.corrected[:80]), expected_ref, atol=1e-10)
+    # corrected second batch means move towards first
+    gap_before = np.abs(oracle.cosine_norm(b2).mean(0) - expected_ref.mean(0)).sum()
+    gap_after = np.abs(np.asarray(res.corrected[80:]).mean(0) - expected_ref.mean(0)).sum()
+    assert gap_after < gap_before
+
+
+def test_mnn_correct_single_vs_multi(rng):
+    # reference test-mnn-correct.R:347-377
+    b1 = rng.normal(size=(50, 30))
+    b2 = rng.normal(size=(70, 30)) + 1
+    ref = mnn_correct([jnp.asarray(b1), jnp.asarray(b2)], svd_dim=2)
+    combined = np.concatenate([b1, b2])
+    batch = np.repeat([0, 1], [50, 70])
+    shuffle = rng.permutation(120)
+    out = mnn_correct(combined[shuffle], batch=batch[shuffle], svd_dim=2)
+    assert np.allclose(
+        np.asarray(out.corrected), np.asarray(ref.corrected)[shuffle], atol=1e-8
+    )
+
+
+def test_mnn_correct_subset_consistency(rng):
+    # subset.row == pre-subsetted input (reference test-mnn-correct.R:177-201)
+    b1 = rng.normal(size=(60, 40))
+    b2 = rng.normal(size=(50, 40)) + 1
+    subset = np.arange(0, 40, 2)
+    res_sub = mnn_correct([jnp.asarray(b1), jnp.asarray(b2)], subset_row=subset)
+    pre = mnn_correct([jnp.asarray(b1[:, subset]), jnp.asarray(b2[:, subset])])
+    assert np.allclose(
+        np.asarray(res_sub.corrected), np.asarray(pre.corrected), atol=1e-8
+    )
+    assert res_sub.corrected.shape[1] == 20
+
+    res_all = mnn_correct(
+        [jnp.asarray(b1), jnp.asarray(b2)], subset_row=subset, correct_all=True
+    )
+    assert res_all.corrected.shape[1] == 40
+    # reference batch rows: full-gene values normalized by subset L2
+    l2 = np.sqrt((b1[:, subset] ** 2).sum(axis=1))
+    assert np.allclose(
+        np.asarray(res_all.corrected[:60]), b1 / np.maximum(l2, 1e-8)[:, None], atol=1e-10
+    )
+
+
+def test_mnn_correct_no_cos_norm(rng):
+    b1 = rng.normal(size=(40, 25))
+    b2 = rng.normal(size=(45, 25)) + 1
+    res = mnn_correct(
+        [jnp.asarray(b1), jnp.asarray(b2)], cos_norm_in=False, cos_norm_out=False,
+        var_adj=False,
+    )
+    assert np.allclose(np.asarray(res.corrected[:40]), b1, atol=1e-12)
+
+
+def test_mnn_correct_three_batches_merge_order(rng):
+    b1 = rng.normal(size=(40, 20))
+    b2 = rng.normal(size=(50, 20)) + 1
+    b3 = rng.normal(size=(45, 20)) + 2
+    out_order = mnn_correct(
+        [jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(b3)], merge_order=[2, 1, 0]
+    )
+    out_phys = mnn_correct([jnp.asarray(b3), jnp.asarray(b2), jnp.asarray(b1)])
+    sizes = [45, 50, 40]
+    starts = np.cumsum([0] + sizes)
+    phys = np.asarray(out_phys.corrected)
+    reordered = np.concatenate(
+        [phys[starts[2] :], phys[starts[1] : starts[2]], phys[: starts[1]]]
+    )
+    assert np.allclose(np.asarray(out_order.corrected), reordered, atol=1e-8)
