@@ -1,0 +1,200 @@
+"""Diagnostics: mnnDeltaVariance and cluster-abundance checks.
+
+TPU-native rebuilds of the reference's diagnostic layer
+(R/mnnDeltaVariance.R:95-201, R/diagnostics-cluster.R:57-83).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cosine_norm import apply_cosine_norm, cosine_norm
+
+__all__ = [
+    "fit_trend_var",
+    "mnn_delta_variance",
+    "cluster_abundance_test",
+    "cluster_abundance_var",
+    "MnnDeltaVarianceResult",
+]
+
+
+def fit_trend_var(
+    means: np.ndarray, variances: np.ndarray, span: float = 0.3
+) -> Callable[[np.ndarray], np.ndarray]:
+    """Mean-variance trend fit (scran::fitTrendVar stand-in).
+
+    The reference delegates to scran's parametric+loess trend
+    (R/mnnDeltaVariance.R:158); here we fit a tricube-weighted local linear
+    regression (loess degree 1) on the same (mean, variance) pairs. Same
+    interface — returns a callable trend — with a different smoother.
+    """
+    means = np.asarray(means, dtype=np.float64)
+    variances = np.asarray(variances, dtype=np.float64)
+    ok = np.isfinite(means) & np.isfinite(variances)
+    x, y = means[ok], variances[ok]
+    if x.size < 2:
+        const = float(np.nanmean(y)) if y.size else 0.0
+        return lambda q: np.full(np.asarray(q).shape, const)
+    order = np.argsort(x)
+    xs, ys = x[order], y[order]
+    n = xs.size
+    window = max(int(np.ceil(span * n)), 2)
+
+    def trend(q):
+        q = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        out = np.empty(q.shape)
+        for i, qi in enumerate(q):
+            pos = np.searchsorted(xs, qi)
+            lo = max(0, min(pos - window // 2, n - window))
+            hi = lo + window
+            xw, yw = xs[lo:hi], ys[lo:hi]
+            h = max(np.max(np.abs(xw - qi)), 1e-12)
+            w = (1 - np.minimum(np.abs(xw - qi) / h, 1) ** 3) ** 3
+            sw = w.sum()
+            if sw <= 0:
+                out[i] = yw.mean()
+                continue
+            xm = (w * xw).sum() / sw
+            ym = (w * yw).sum() / sw
+            den = (w * (xw - xm) ** 2).sum()
+            slope = (w * (xw - xm) * (yw - ym)).sum() / den if den > 1e-12 else 0.0
+            out[i] = ym + slope * (qi - xm)
+        return np.maximum(out, 0.0)
+
+    return trend
+
+
+@dataclass
+class MnnDeltaVarianceResult:
+    """Per-gene delta-variance table (reference mnnDeltaVariance output).
+
+    mean/total/trend/adjusted: combined (pair-count-weighted) across steps;
+    per_step: list of per-merge-step dicts with the same fields.
+    """
+
+    mean: np.ndarray
+    total: np.ndarray
+    trend: np.ndarray
+    adjusted: np.ndarray
+    per_step: List[dict]
+
+
+def mnn_delta_variance(
+    batches: Sequence[jnp.ndarray],
+    pairs: Sequence[np.ndarray],
+    *,
+    cos_norm: bool = False,
+    subset_row: Optional[np.ndarray] = None,
+    compute_all: bool = False,
+    trend_span: float = 0.3,
+) -> MnnDeltaVarianceResult:
+    """Variance of per-gene differences across MNN pairs, trend-adjusted.
+
+    ``batches``: per-batch (N_b, G) matrices, concatenated in input order to
+    interpret the 0-based pair indices (as produced by fast_mnn merge_info).
+    ``pairs``: list of (P, 2) arrays, one per merge step.
+    Mirrors mnnDeltaVariance (reference R/mnnDeltaVariance.R:95-201); the
+    trend uses :func:`fit_trend_var`.
+    """
+    mats = [jnp.asarray(b) for b in batches]
+    if cos_norm:
+        l2 = [cosine_norm(m, mode="l2norm", subset_row=subset_row) for m in mats]
+        ml2 = float(np.mean([float(jnp.mean(v)) for v in l2]))
+        mats = [apply_cosine_norm(m, v / ml2) for m, v in zip(mats, l2)]
+    x = jnp.concatenate(mats, axis=0)
+    if subset_row is not None and not compute_all:
+        x = x[:, jnp.asarray(np.asarray(subset_row))]
+        subset_row = None
+
+    per_step = []
+    npairs = []
+    for p in pairs:
+        p = np.asarray(p)
+        b1 = x[jnp.asarray(p[:, 0])]
+        b2 = x[jnp.asarray(p[:, 1])]
+        delta = b1 - b2
+        n = p.shape[0]
+        var = (
+            np.asarray(jnp.var(delta, axis=0, ddof=1))
+            if n >= 2
+            else np.full(x.shape[1], np.nan)
+        )
+        mean = np.asarray((jnp.mean(b1, axis=0) + jnp.mean(b2, axis=0)) / 2)
+        sel_mean, sel_var = mean, var
+        if subset_row is not None:
+            s = np.asarray(subset_row)
+            sel_mean, sel_var = mean[s], var[s]
+        trend_fn = fit_trend_var(sel_mean, sel_var, span=trend_span)
+        trend = trend_fn(mean)
+        per_step.append(
+            {"mean": mean, "total": var, "trend": trend, "adjusted": var - trend}
+        )
+        npairs.append(n)
+
+    # combine across steps, weighting by pair count, steps with >=2 pairs
+    # (reference scran::combineBlocks usage, R/mnnDeltaVariance.R:170-175)
+    w = np.asarray(npairs, dtype=np.float64)
+    valid = w >= 2
+    if not valid.any():
+        raise ValueError("no merge step has >= 2 MNN pairs")
+    wv = w * valid
+    wv = wv / wv.sum()
+
+    def comb(field):
+        return sum(wi * ps[field] for wi, ps in zip(wv, per_step))
+
+    return MnnDeltaVarianceResult(
+        mean=comb("mean"),
+        total=comb("total"),
+        trend=comb("trend"),
+        adjusted=comb("adjusted"),
+        per_step=per_step,
+    )
+
+
+def _abundance_table(x, batch=None) -> np.ndarray:
+    """Cluster-by-batch contingency table (reference ._create_abundance_table)."""
+    if batch is None:
+        return np.asarray(x, dtype=np.float64)
+    x = np.asarray(x)
+    batch = np.asarray(batch)
+    rows = sorted(set(x.tolist()))
+    cols = sorted(set(batch.tolist()))
+    tab = np.zeros((len(rows), len(cols)))
+    ri = {v: i for i, v in enumerate(rows)}
+    ci = {v: i for i, v in enumerate(cols)}
+    for a, b in zip(x.tolist(), batch.tolist()):
+        tab[ri[a], ci[b]] += 1
+    return tab
+
+
+def cluster_abundance_test(x, batch=None) -> np.ndarray:
+    """Chi-squared test of within-cluster batch abundances against overall
+    batch proportions; one p-value per cluster
+    (reference clusterAbundanceTest, R/diagnostics-cluster.R:57-63)."""
+    import jax.scipy.special as jss
+
+    tab = _abundance_table(x, batch)
+    props = tab.sum(axis=0) / tab.sum()
+    out = np.empty(tab.shape[0])
+    df = tab.shape[1] - 1
+    for i, row in enumerate(tab):
+        exp = row.sum() * props
+        stat = float(np.sum((row - exp) ** 2 / exp))
+        out[i] = float(jss.gammaincc(df / 2.0, stat / 2.0))
+    return out
+
+
+def cluster_abundance_var(x, batch=None, pseudo_count: float = 10.0) -> np.ndarray:
+    """Variance of log-normalized abundances across batches per cluster
+    (reference clusterAbundanceVar, R/diagnostics-cluster.R:73-83)."""
+    tab = _abundance_table(x, batch)
+    libs = tab.sum(axis=0)
+    sf = libs / libs.mean()
+    norm = np.log2(tab / sf[None, :] + pseudo_count)
+    return norm.var(axis=1, ddof=1)

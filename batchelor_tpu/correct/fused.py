@@ -1,0 +1,124 @@
+"""Fused, fully-jittable fastMNN merge step (the performance path).
+
+The host-orchestrated engine in fast_mnn.py is the reference-parity path:
+it materializes pair lists per step for diagnostics. This module is the
+speed-of-light path: one jit-compiled function per merge that never syncs
+with the host — static shapes throughout, variable-size MNN pair sets
+carried as masks over the dense (N1 x k2) candidate array, segment
+reductions over full-size right-cell arrays.
+
+Semantics match fast_mnn's per-step math (reference R/fastMNN.R:436-562)
+with one documented deviation: the tricube neighbour count is the static
+``k`` even if fewer than k right cells are MNN-involved (the reference
+shrinks k to the involved count; with the default k=20 this matters only
+for degenerate inputs).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.knn import query_knn
+
+__all__ = ["fused_merge_step", "FusedMergeOutput"]
+
+
+class FusedMergeOutput(NamedTuple):
+    left: jnp.ndarray          # corrected left coordinates
+    right: jnp.ndarray         # corrected right coordinates
+    overall: jnp.ndarray       # average batch vector (d,)
+    batch_size: jnp.ndarray    # scalar relative batch-effect magnitude
+    n_pairs: jnp.ndarray       # scalar number of MNN pairs
+    pair_mask: jnp.ndarray     # (N1, k2) bool: which candidates are MNN pairs
+    pair_targets: jnp.ndarray  # (N1, k2) right-cell index per candidate
+
+
+@functools.partial(jax.jit, static_argnames=("k1", "k2", "tricube_k", "ndist"))
+def fused_merge_step(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    k1: int,
+    k2: int,
+    tricube_k: int = 20,
+    ndist: float = 3.0,
+    min_batch_skip: float = 0.0,
+) -> FusedMergeOutput:
+    """One fastMNN merge: MNN detection, orthogonalization, tricube apply.
+
+    left: (N1, d) reference set; right: (N2, d) set being corrected.
+    k1/k2: neighbours searched in left/right respectively.
+    """
+    n1, d = left.shape
+    n2 = right.shape[0]
+    dt = left.dtype
+
+    # --- MNN detection ----------------------------------------------------
+    nn_l2r = query_knn(left, right, k2)             # (N1, k2) in right
+    nn_r2l = query_knn(right, left, k1)             # (N2, k1) in left
+    l2r = nn_l2r.indices
+    r2l = nn_r2l.indices
+    gathered = r2l[l2r]                             # (N1, k2, k1)
+    ids = jnp.arange(n1, dtype=l2r.dtype)[:, None]
+    mutual = jnp.any(gathered == ids[:, :, None], axis=-1)   # (N1, k2)
+    n_pairs = jnp.sum(mutual)
+
+    # --- averaged correction per involved right cell ----------------------
+    def averaged_correction(ld, rd):
+        diffs = ld[:, None, :] - rd[l2r]            # (N1, k2, d)
+        w = mutual.astype(dt)
+        seg = jnp.where(mutual, l2r, n2).reshape(-1)
+        flat = (diffs * w[:, :, None]).reshape(-1, d)
+        sums = jax.ops.segment_sum(flat, seg, num_segments=n2 + 1)[:n2]
+        counts = jax.ops.segment_sum(w.reshape(-1), seg, num_segments=n2 + 1)[:n2]
+        involved = counts > 0
+        avg = sums / jnp.maximum(counts, 1.0)[:, None]
+        return avg, counts, involved
+
+    avg, counts, involved = averaged_correction(left, right)
+    n_involved = jnp.sum(involved)
+
+    # overall batch vector: mean over involved cells of their averages
+    overall = jnp.sum(avg, axis=0, where=involved[:, None]) / jnp.maximum(n_involved, 1)
+    # batch magnitude (reference .get_batch_magnitude)
+    denom = jnp.sum(
+        jnp.sum(jnp.square(avg), axis=1, where=None) * involved
+    ) / jnp.maximum(n_involved, 1)
+    num = jnp.sum(jnp.square(overall))
+    magnitude = jnp.where(denom == 0, 0.0, jnp.sqrt(num / jnp.where(denom == 0, 1.0, denom)))
+
+    do_correct = magnitude >= min_batch_skip
+
+    # --- orthogonalize both sides along the overall vector ----------------
+    def center(mat, vec):
+        v = vec / jnp.sqrt(jnp.sum(jnp.square(vec)))
+        loc = mat @ v
+        return mat + jnp.outer(jnp.mean(loc) - loc, v)
+
+    left_c = jnp.where(do_correct, center(left, overall), left)
+    right_c = jnp.where(do_correct, center(right, overall), right)
+
+    # --- recompute averages on adjusted coordinates, tricube apply --------
+    avg2, _, _ = averaged_correction(left_c, right_c)
+
+    # kNN of every right cell among involved right cells: mask the rest out
+    idx, dist = query_knn(right_c, right_c, tricube_k, data_mask=involved)
+    middle = -(-tricube_k // 2) - 1
+    bandwidth = jnp.maximum(dist[:, middle] * ndist, 1e-8)
+    rel = jnp.minimum(dist / bandwidth[:, None], 1.0)
+    tri = (1.0 - rel**3) ** 3
+    w = tri / jnp.sum(tri, axis=1, keepdims=True)
+    correction = jnp.einsum("nk,nkd->nd", w, avg2[idx])
+    right_out = jnp.where(do_correct, right_c + correction, right_c)
+
+    return FusedMergeOutput(
+        left=left_c,
+        right=right_out,
+        overall=overall,
+        batch_size=magnitude,
+        n_pairs=n_pairs,
+        pair_mask=mutual,
+        pair_targets=l2r,
+    )

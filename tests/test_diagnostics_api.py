@@ -1,0 +1,177 @@
+"""Diagnostics + dispatch API + pipelines (reference test-delta-variance.R,
+test-classes.R, test-quick-correct.R, test-correct-exps.R, test-apply-multi.R)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from batchelor_tpu.correct.diagnostics import (
+    cluster_abundance_test,
+    cluster_abundance_var,
+    fit_trend_var,
+    mnn_delta_variance,
+)
+from batchelor_tpu.correct.dispatch import (
+    ClassicMNNParams,
+    FastMNNParams,
+    NoCorrectParams,
+    RegressParams,
+    RescaleParams,
+    batch_correct,
+    register_correction,
+    BatchelorParams,
+)
+from batchelor_tpu.correct.experiments import (
+    SingleCellDataset,
+    apply_multi,
+    correct_experiments,
+    quick_correct,
+)
+from batchelor_tpu.correct.fast_mnn import MNNResult, fast_mnn
+from batchelor_tpu.ops.stats import get_top_hvgs, model_gene_var
+
+
+def test_fit_trend_var_recovers_linear(rng):
+    x = np.linspace(0.5, 5, 200)
+    y = 2 * x + rng.normal(scale=0.05, size=200)
+    trend = fit_trend_var(x, y)
+    q = np.array([1.0, 2.5, 4.0])
+    assert np.allclose(trend(q), 2 * q, rtol=0.1)
+
+
+def test_mnn_delta_variance_flags_variable_genes(rng):
+    b1 = rng.normal(size=(100, 30))
+    b2 = rng.normal(size=(100, 30))
+    # gene 5: inconsistent batch effect across cells -> high delta variance
+    b2[:, 5] += rng.normal(scale=4.0, size=100)
+    res = fast_mnn([jnp.asarray(b1), jnp.asarray(b2)], d=10)
+    pairs = [i.pairs for i in res.merge_info]
+    dv = mnn_delta_variance([jnp.asarray(b1), jnp.asarray(b2)], pairs)
+    assert dv.adjusted.shape == (30,)
+    assert np.argmax(dv.adjusted) == 5
+    assert len(dv.per_step) == 1
+
+
+def test_cluster_abundance_test():
+    # fully balanced table -> p == 1 everywhere
+    bal = np.array([[50.0, 50.0], [50, 50]])
+    assert (cluster_abundance_test(bal) > 0.999).all()
+    # rows deviating from the OVERALL proportions get small p
+    tab = np.array([[50.0, 50.0], [50, 50], [95, 5]])
+    p = cluster_abundance_test(tab)
+    # oracle: chi2 stat vs overall props (195,105)/300
+    props = tab.sum(0) / tab.sum()
+    exp0 = tab[0].sum() * props
+    stat0 = np.sum((tab[0] - exp0) ** 2 / exp0)
+    from jax.scipy.special import gammaincc
+
+    assert np.isclose(p[0], float(gammaincc(0.5, stat0 / 2)), atol=1e-10)
+    assert p[2] < 1e-5
+    # from label vectors
+    x = np.repeat([0, 1], [40, 40])
+    batch = np.tile([0, 1], 40)
+    p2 = cluster_abundance_test(x, batch)
+    assert p2.shape == (2,)
+    assert (p2 > 0.9).all()
+
+
+def test_cluster_abundance_var():
+    tab = np.array([[100.0, 100], [100, 10]])
+    v = cluster_abundance_var(tab)
+    assert v[1] > v[0]
+
+
+def test_dispatch_all_params(rng):
+    b1 = np.abs(rng.normal(size=(60, 30))) + 0.1
+    b2 = np.abs(rng.normal(size=(70, 30))) + 0.6
+    mats = [jnp.asarray(b1), jnp.asarray(b2)]
+    fast = batch_correct(mats, params=FastMNNParams(d=10))
+    assert fast.corrected.shape == (130, 10)
+    classic = batch_correct(mats, params=ClassicMNNParams(var_adj=False))
+    assert classic.corrected.shape == (130, 30)
+    resc = batch_correct(mats, params=RescaleParams())
+    assert resc.corrected.shape == (130, 30)
+    regr = batch_correct(mats, params=RegressParams())
+    assert regr.corrected.shape == (130, 30)
+    noc = batch_correct(mats, params=NoCorrectParams())
+    assert np.allclose(np.asarray(noc.corrected), np.concatenate([b1, b2]))
+    # default = fastMNN; d=50 clamps to the 30 available genes
+    dflt = batch_correct(mats)
+    assert dflt.corrected.shape[1] == 30
+
+
+def test_dispatch_extension(rng):
+    class MyParams(BatchelorParams):
+        pass
+
+    @register_correction(MyParams)
+    def _mine(batches, batch, restrict, subset_row, correct_all, batch_names, p):
+        return "custom"
+
+    assert batch_correct([jnp.zeros((3, 2)), jnp.zeros((4, 2))], params=MyParams()) == "custom"
+
+
+def test_model_gene_var_and_hvgs(rng):
+    n, g = 200, 50
+    x = rng.normal(size=(n, g))
+    x[:, 7] *= 5  # highly variable gene
+    res = model_gene_var(jnp.asarray(x))
+    hv = get_top_hvgs(res, n=5)
+    assert 7 in hv.tolist()
+    blocked = model_gene_var(jnp.asarray(x), block=np.repeat([0, 1], 100))
+    assert blocked.bio.shape == (g,)
+
+
+def test_quick_correct_end_to_end(rng):
+    c1 = rng.poisson(5.0, size=(80, 100)).astype(np.float64)
+    c2 = rng.poisson(10.0, size=(90, 100)).astype(np.float64)
+    out = quick_correct([c1, c2], hvg_n=40, params=FastMNNParams(d=10))
+    assert out.hvgs.shape[0] == 40
+    assert out.corrected.corrected.shape == (170, 10)
+    # correct_all=True default: rotation spans all genes
+    assert out.corrected.rotation.shape == (100, 10)
+
+
+def test_correct_experiments_grafts(rng):
+    g = 40
+    d1 = SingleCellDataset(
+        assays={"logcounts": jnp.asarray(rng.normal(size=(50, g))),
+                "counts": jnp.asarray(np.ones((50, g)))},
+        gene_names=[f"g{i}" for i in range(g)],
+        cell_meta={"sample": np.repeat("a", 50)},
+    )
+    d2 = SingleCellDataset(
+        assays={"logcounts": jnp.asarray(rng.normal(size=(60, g)) + 1),
+                "counts": jnp.asarray(np.full((60, g), 2.0))},
+        gene_names=[f"g{i}" for i in range(g)],
+        cell_meta={"sample": np.repeat("b", 60)},
+    )
+    out = correct_experiments([d1, d2], params=FastMNNParams(d=8))
+    assert "reconstructed" in out.assays
+    assert out.assays["reconstructed"].shape == (110, g)
+    assert "logcounts" in out.assays and "counts" in out.assays
+    assert np.allclose(np.asarray(out.assays["counts"][:50]), 1.0)
+    assert list(out.cell_meta["sample"]) == ["a"] * 50 + ["b"] * 60
+    assert out.reduced["corrected"].shape == (110, 8)
+    assert "merge_info" in out.metadata
+
+
+def test_apply_multi(rng):
+    def make(n):
+        return SingleCellDataset(
+            assays={"logcounts": jnp.asarray(rng.normal(size=(n, 20)))},
+            alts={
+                "spike": SingleCellDataset(
+                    assays={"logcounts": jnp.asarray(rng.normal(size=(n, 5)))}
+                )
+            },
+        )
+
+    d1, d2 = make(40), make(50)
+    out = apply_multi(
+        [d1, d2],
+        lambda inputs: batch_correct(
+            [x.assay("logcounts") for x in inputs], params=FastMNNParams(d=4)
+        ),
+    )
+    assert out["main"].corrected.shape == (90, 4)
+    assert out["spike"].corrected.shape == (90, 4)
