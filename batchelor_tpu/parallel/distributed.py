@@ -1,0 +1,253 @@
+"""Distributed fastMNN: cells sharded over the mesh, explicit collectives.
+
+SPMD design (SURVEY.md §2.3/§5): each device holds a row shard of both
+batches; the opposing set is all-gathered over ICI for the cross-batch
+distance tiles (d <= ~50, so an (N x d) gather is cheap); MNN membership,
+segment-averaged corrections, projection means and variance reductions are
+psums; small state (the averaged-correction table, batch vectors) is
+replicated. All collectives are emitted inside shard_map on a declared
+mesh — the TPU analog of the reference's "injected, never ambient"
+parallelism discipline (reference tests/testthat/setup.R:1-13).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from ..ops.knn import query_knn
+from .mesh import CELLS_AXIS, cells_sharding, make_cells_mesh, pad_to_multiple
+
+__all__ = ["distributed_merge_step", "distributed_multi_batch_pca", "DistributedMergeOutput"]
+
+
+class DistributedMergeOutput(NamedTuple):
+    left: jnp.ndarray
+    right: jnp.ndarray
+    overall: jnp.ndarray
+    batch_size: jnp.ndarray
+    n_pairs: jnp.ndarray
+
+
+def _psum(x):
+    return lax.psum(x, CELLS_AXIS)
+
+
+def _merge_step_local(
+    lshard, rshard, lmask, rmask, k1: int, k2: int, tricube_k: int, ndist: float,
+    min_batch_skip: float,
+):
+    """Per-device body of one fastMNN merge step (see fused.fused_merge_step
+    for the single-device semantics this mirrors)."""
+    dt = lshard.dtype
+    d = lshard.shape[1]
+    my = lax.axis_index(CELLS_AXIS)
+    n_shard_l = lshard.shape[0]
+    n_shard_r = rshard.shape[0]
+
+    full_right = lax.all_gather(rshard, CELLS_AXIS, tiled=True)       # (N2, d)
+    full_left = lax.all_gather(lshard, CELLS_AXIS, tiled=True)        # (N1, d)
+    full_rmask = lax.all_gather(rmask, CELLS_AXIS, tiled=True)
+    full_lmask = lax.all_gather(lmask, CELLS_AXIS, tiled=True)
+    n2 = full_right.shape[0]
+    n1 = full_left.shape[0]
+
+    # cross-batch kNN on local query tiles against the gathered opposite set
+    l2r, _ = query_knn(lshard, full_right, k2, data_mask=full_rmask)  # local x global
+    r2l, _ = query_knn(rshard, full_left, k1, data_mask=full_lmask)
+    r2l_full = lax.all_gather(r2l, CELLS_AXIS, tiled=True)            # (N2, k1)
+
+    my_ids = my * n_shard_l + jnp.arange(n_shard_l, dtype=l2r.dtype)
+    mutual = jnp.any(r2l_full[l2r] == my_ids[:, None, None], axis=-1)
+    mutual = mutual & lmask[:, None]
+    n_pairs = _psum(jnp.sum(mutual))
+
+    def averaged(l_rows, right_full):
+        diffs = l_rows[:, None, :] - right_full[l2r]                  # (S, k2, d)
+        w = mutual.astype(dt)
+        seg = jnp.where(mutual, l2r, n2).reshape(-1)
+        sums = jax.ops.segment_sum(
+            (diffs * w[:, :, None]).reshape(-1, d), seg, num_segments=n2 + 1
+        )[:n2]
+        counts = jax.ops.segment_sum(w.reshape(-1), seg, num_segments=n2 + 1)[:n2]
+        sums = _psum(sums)
+        counts = _psum(counts)
+        involved = counts > 0
+        return sums / jnp.maximum(counts, 1.0)[:, None], involved
+
+    avg, involved = averaged(lshard, full_right)
+    n_involved = jnp.maximum(jnp.sum(involved), 1)
+
+    overall = jnp.sum(jnp.where(involved[:, None], avg, 0.0), axis=0) / n_involved
+    denom = jnp.sum(jnp.sum(jnp.square(avg), axis=1) * involved) / n_involved
+    num = jnp.sum(jnp.square(overall))
+    magnitude = jnp.where(
+        denom == 0, 0.0, jnp.sqrt(num / jnp.where(denom == 0, 1.0, denom))
+    )
+    do_correct = magnitude >= min_batch_skip
+
+    v = overall / jnp.sqrt(jnp.sum(jnp.square(overall)))
+
+    def center_shard(shard, mask):
+        loc = shard @ v
+        total = _psum(jnp.sum(jnp.where(mask, loc, 0.0)))
+        cnt = _psum(jnp.sum(mask.astype(dt)))
+        mean = total / cnt
+        return shard + jnp.outer(mean - loc, v), mean
+
+    lshard_c, _ = center_shard(lshard, lmask)
+    rshard_c, mean_r = center_shard(rshard, rmask)
+    lshard_c = jnp.where(do_correct, lshard_c, lshard)
+    rshard_c = jnp.where(do_correct, rshard_c, rshard)
+
+    # centered full right (same global mean; recomputed locally)
+    loc_fr = full_right @ v
+    full_right_c = jnp.where(
+        do_correct, full_right + jnp.outer(mean_r - loc_fr, v), full_right
+    )
+
+    avg2, _ = averaged(lshard_c, full_right_c)
+
+    # tricube apply: local right rows query the involved cells globally
+    idx, dist = query_knn(rshard_c, full_right_c, tricube_k, data_mask=involved & full_rmask)
+    middle = -(-tricube_k // 2) - 1
+    bandwidth = jnp.maximum(dist[:, middle] * ndist, 1e-8)
+    rel = jnp.minimum(dist / bandwidth[:, None], 1.0)
+    tri = (1.0 - rel**3) ** 3
+    w = tri / jnp.sum(tri, axis=1, keepdims=True)
+    correction = jnp.einsum("nk,nkd->nd", w, avg2[idx])
+    right_out = jnp.where(do_correct, rshard_c + correction, rshard_c)
+
+    return lshard_c, right_out, overall, magnitude, n_pairs
+
+
+def distributed_merge_step(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    k1: int = 20,
+    k2: int = 20,
+    tricube_k: int = 20,
+    ndist: float = 3.0,
+    min_batch_skip: float = 0.0,
+) -> DistributedMergeOutput:
+    """One fastMNN merge step with cells sharded over ``mesh``.
+
+    Pads both sets to a device-count multiple with masked rows; returns
+    unpadded corrected coordinates plus replicated diagnostics.
+    """
+    ndev = mesh.devices.size
+    left = jnp.asarray(left)
+    right = jnp.asarray(right)
+    lpad, n1 = pad_to_multiple(left, ndev)
+    rpad, n2 = pad_to_multiple(right, ndev)
+    lmask = jnp.arange(lpad.shape[0]) < n1
+    rmask = jnp.arange(rpad.shape[0]) < n2
+
+    fn = shard_map(
+        functools.partial(
+            _merge_step_local,
+            k1=k1,
+            k2=k2,
+            tricube_k=tricube_k,
+            ndist=ndist,
+            min_batch_skip=min_batch_skip,
+        ),
+        mesh=mesh,
+        in_specs=(P(CELLS_AXIS, None), P(CELLS_AXIS, None), P(CELLS_AXIS), P(CELLS_AXIS)),
+        out_specs=(P(CELLS_AXIS, None), P(CELLS_AXIS, None), P(), P(), P()),
+        check_vma=False,
+    )
+    shard = cells_sharding(mesh)
+    lpad = jax.device_put(lpad, shard)
+    rpad = jax.device_put(rpad, shard)
+    lc, rc, overall, mag, n_pairs = jax.jit(fn)(lpad, rpad, lmask, rmask)
+    return DistributedMergeOutput(
+        left=lc[:n1], right=rc[:n2], overall=overall, batch_size=mag, n_pairs=n_pairs
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed multi-batch PCA: per-shard Gram accumulation + replicated eigh.
+
+
+def _pca_local(xs_shards, masks, weights, d: int):
+    """Per-device body: weighted grand-mean centering, Gram psum, eigh."""
+    dt = xs_shards[0].dtype
+    nb = len(xs_shards)
+    means = []
+    counts = []
+    for x, m in zip(xs_shards, masks):
+        s = _psum(jnp.sum(jnp.where(m[:, None], x, 0.0), axis=0))
+        c = _psum(jnp.sum(m.astype(dt)))
+        means.append(s / c)
+        counts.append(c)
+    wsum = sum(weights)
+    centers = sum(mu * w for mu, w in zip(means, weights)) / wsum
+
+    gram = jnp.zeros((xs_shards[0].shape[1], xs_shards[0].shape[1]), dt)
+    for x, m, w, c in zip(xs_shards, masks, weights, counts):
+        xc = jnp.where(m[:, None], x - centers[None, :], 0.0)
+        gram = gram + (xc.T @ xc) * (w / c)
+    gram = _psum(gram)
+
+    evals, evecs = jnp.linalg.eigh(gram)
+    v = evecs[:, ::-1][:, :d]
+    s = jnp.sqrt(jnp.maximum(evals[::-1][:d], 0.0))
+
+    comps = [
+        jnp.where(m[:, None], x - centers[None, :], 0.0) @ v
+        for x, m in zip(xs_shards, masks)
+    ]
+    return (*comps, v, s, centers)
+
+
+def distributed_multi_batch_pca(
+    batches,
+    mesh: Mesh,
+    d: int = 50,
+    weights=None,
+):
+    """Weighted multi-batch PCA with cells sharded over the mesh.
+
+    The G x G weighted cross-product is accumulated per shard and psummed;
+    the eigendecomposition runs replicated on every device
+    (SURVEY.md §2.2 "Truncated SVD" replacement). Returns
+    (components list, rotation, centers, singular values).
+    """
+    ndev = mesh.devices.size
+    batches = [jnp.asarray(b) for b in batches]
+    nb = len(batches)
+    if weights is None:
+        weights = [1.0] * nb
+    padded, ns, masks = [], [], []
+    for b in batches:
+        p, n = pad_to_multiple(b, ndev)
+        padded.append(p)
+        ns.append(n)
+        masks.append(jnp.arange(p.shape[0]) < n)
+
+    in_specs = tuple([P(CELLS_AXIS, None)] * nb + [P(CELLS_AXIS)] * nb)
+    out_specs = tuple([P(CELLS_AXIS, None)] * nb + [P(), P(), P()])
+
+    def body(*args):
+        xs = list(args[:nb])
+        ms = list(args[nb:])
+        return _pca_local(xs, ms, weights, d)
+
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    shardng = cells_sharding(mesh)
+    padded = [jax.device_put(p, shardng) for p in padded]
+    out = jax.jit(fn)(*padded, *masks)
+    comps = [c[:n] for c, n in zip(out[:nb], ns)]
+    v, s, centers = out[nb], out[nb + 1], out[nb + 2]
+    return comps, v, centers, s
