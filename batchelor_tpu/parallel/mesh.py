@@ -19,9 +19,20 @@ __all__ = ["make_cells_mesh", "cells_sharding", "replicated_sharding", "pad_to_m
 CELLS_AXIS = "cells"
 
 
-def make_cells_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """1-D mesh with a single ``cells`` axis over the first n devices."""
-    devices = jax.devices()
+def make_cells_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh with a single ``cells`` axis over the first n devices.
+
+    If the default platform has too few devices, falls back to the CPU
+    backend (virtual devices via xla_force_host_platform_device_count) —
+    querying a named backend does not disturb the default platform.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and n_devices > len(devices):
+            try:
+                devices = jax.devices("cpu")
+            except RuntimeError:
+                pass
     if n_devices is not None:
         if n_devices > len(devices):
             raise ValueError(
