@@ -86,7 +86,8 @@ def _knn_tiled(
             dt, dnt, vt, base = tile
             # score = -||q - x||^2; larger is closer.
             prod = jnp.dot(qt.astype(acc_t), dt.astype(acc_t).T,
-                           preferred_element_type=acc_t)
+                           preferred_element_type=acc_t,
+                           precision=lax.Precision.HIGHEST)
             score = 2.0 * prod - dnt[None, :] - qnt
             score = jnp.where(vt[None, :], score, -jnp.inf)
             cand_i = base + tile_iota
@@ -130,6 +131,42 @@ class KNNResult(tuple):
         return self[1]
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _knn_approx(query, data, k: int, data_valid):
+    """Approximate kNN via lax.approx_max_k (TPU-optimized partial reduce).
+
+    The reference equivalently offers approximate backends via BNPARAM
+    (AnnoyParam/HNSWParam); this is the TPU analog. Recall ~0.99 for
+    default settings.
+    """
+    acc_t = jnp.promote_types(query.dtype, jnp.float32)
+    dn = jnp.sum(jnp.square(data.astype(acc_t)), axis=1)
+    dn = jnp.where(data_valid, dn, jnp.inf)
+    qn = jnp.sum(jnp.square(query.astype(acc_t)), axis=1, keepdims=True)
+
+    nq, d = query.shape
+    tile = min(_QUERY_TILE * 8, -(-nq // 8) * 8)
+    qpad = _pad_rows(query, tile)
+    qn_pad = _pad_rows(qn, tile)
+    n_tiles = qpad.shape[0] // tile
+
+    def one(args):
+        qt, qnt = args
+        s = (
+            2.0 * jnp.dot(qt.astype(acc_t), data.astype(acc_t).T,
+                          preferred_element_type=acc_t,
+                          precision=lax.Precision.HIGHEST)
+            - dn[None, :]
+        )
+        vals, idx = lax.approx_max_k(s, k, recall_target=0.99,
+                                     aggregate_to_topk=True)
+        return idx, qnt - vals
+
+    idx, sq = lax.map(one, (qpad.reshape(n_tiles, tile, d),
+                            qn_pad.reshape(n_tiles, tile, 1)))
+    return idx.reshape(-1, k)[:nq], jnp.maximum(sq.reshape(-1, k)[:nq], 0.0)
+
+
 def query_knn(
     query: jnp.ndarray,
     data: jnp.ndarray,
@@ -138,19 +175,30 @@ def query_knn(
     n_data_valid: Optional[int] = None,
     data_mask: Optional[jnp.ndarray] = None,
     squared: bool = False,
+    method: str = "exact",
 ) -> KNNResult:
     """For each row of ``query``, the ``k`` nearest rows of ``data``.
 
-    Equivalent of BiocNeighbors::queryKNN for the dense exact case. ``k``
-    must not exceed the number of valid data rows. ``n_data_valid`` or
-    ``data_mask`` exclude padded/invalid data rows (excluded rows come back
-    with +inf distance only if k exceeds the valid count, which is an error
-    on the caller's part).
+    Equivalent of BiocNeighbors::queryKNN with pluggable backends
+    (reference BNPARAM, R/fastMNN.R:287):
+      * "exact": tiled XLA scores + top_k (default; index-stable ties);
+      * "chunked": Pallas fused chunk-max kernel + exact rescore
+        (exact up to tie-breaking; large-N path, knn_pallas.py);
+      * "approx": lax.approx_max_k, recall ~0.99 (the Annoy/HNSW analog).
+    ``k`` must not exceed the number of valid data rows; ``n_data_valid``
+    or ``data_mask`` exclude padded/invalid data rows.
     """
     if k <= 0:
         raise ValueError("k must be positive")
     query = jnp.asarray(query)
     data = jnp.asarray(data)
+    if method == "chunked":
+        from .knn_pallas import query_knn_tpu
+
+        return query_knn_tpu(
+            query, data, k, n_data_valid=n_data_valid, data_mask=data_mask,
+            squared=squared,
+        )
     nd = data.shape[0]
     if data_mask is not None:
         valid = jnp.asarray(data_mask, dtype=bool)
@@ -158,6 +206,11 @@ def query_knn(
         valid = jnp.arange(nd) < n_data_valid
     else:
         valid = jnp.ones((nd,), dtype=bool)
-    idx, sq = _knn_tiled(query, data, k, valid)
+    if method == "approx":
+        idx, sq = _knn_approx(query, data, k, valid)
+    elif method == "exact":
+        idx, sq = _knn_tiled(query, data, k, valid)
+    else:
+        raise ValueError(f"unknown kNN method {method!r}")
     dist = sq if squared else jnp.sqrt(sq)
     return KNNResult(idx, dist)

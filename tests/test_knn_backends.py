@@ -1,0 +1,38 @@
+"""Pluggable kNN backend tests (chunked Pallas path runs interpreted on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from batchelor_tpu.ops.knn import query_knn
+
+
+def test_chunked_matches_exact_small(rng):
+    # interpreted Pallas on CPU; keep sizes tiny (one padded block)
+    q = rng.normal(size=(40, 10))
+    x = rng.normal(size=(300, 10))
+    ref = query_knn(jnp.asarray(q), jnp.asarray(x), 5, method="exact")
+    out = query_knn(jnp.asarray(q), jnp.asarray(x), 5, method="chunked")
+    assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
+    assert np.allclose(np.asarray(ref.distances), np.asarray(out.distances), atol=1e-5)
+
+
+def test_chunked_respects_mask(rng):
+    q = rng.normal(size=(16, 6))
+    x = rng.normal(size=(256, 6))
+    mask = np.zeros(256, dtype=bool)
+    mask[:150] = True
+    ref = query_knn(jnp.asarray(q), jnp.asarray(x[:150]), 4, method="exact")
+    out = query_knn(jnp.asarray(q), jnp.asarray(x), 4, data_mask=jnp.asarray(mask),
+                    method="chunked")
+    assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
+
+
+def test_approx_high_recall(rng):
+    q = rng.normal(size=(200, 12))
+    x = rng.normal(size=(2000, 12))
+    ref = query_knn(jnp.asarray(q), jnp.asarray(x), 10, method="exact")
+    out = query_knn(jnp.asarray(q), jnp.asarray(x), 10, method="approx")
+    ref_sets = [set(r) for r in np.asarray(ref.indices).tolist()]
+    out_sets = [set(r) for r in np.asarray(out.indices).tolist()]
+    recall = np.mean([len(a & b) / 10 for a, b in zip(ref_sets, out_sets)])
+    assert recall > 0.95
