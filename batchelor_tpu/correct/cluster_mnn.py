@@ -63,8 +63,16 @@ def kmeans_clusters(x: jnp.ndarray, n_clusters: int, n_iter: int = 50, seed: int
 
 def _union_find(n: int, edges: np.ndarray) -> np.ndarray:
     """Connected components; mirrors igraph::components usage at
-    reference R/clusterMNN.R:162-165. (Host-side; the native C++ runtime
-    provides a faster variant for large graphs.)"""
+    reference R/clusterMNN.R:162-165. Dispatches to the native C++ runtime
+    when available."""
+    from ..native import bindings as nat
+
+    if nat.get_lib() is not None:
+        return nat.union_find(n, np.asarray(edges))
+    return _union_find_py(n, edges)
+
+
+def _union_find_py(n: int, edges: np.ndarray) -> np.ndarray:
     parent = np.arange(n)
 
     def find(a):

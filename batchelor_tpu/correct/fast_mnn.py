@@ -130,7 +130,13 @@ def _fast_mnn_core(
     auto_merge: bool = False,
     min_batch_skip: Optional[float] = 0.0,
     batch_names: Optional[Sequence[str]] = None,
+    checkpoint_dir: Optional[str] = None,
 ):
+    checkpointer = None
+    if checkpoint_dir is not None:
+        from ..io.checkpoint import MergeCheckpointer
+
+        checkpointer = MergeCheckpointer(checkpoint_dir)
     nbatches = len(batches)
     nmerges = nbatches - 1
     diags: List[Optional[MergeStepInfo]] = [None] * nmerges
@@ -156,6 +162,38 @@ def _fast_mnn_core(
     final_node: Optional[MergeNode] = None
 
     for mdx in range(nmerges):
+        # Resume path: replay a completed step from the checkpoint store
+        # without recomputation.
+        if checkpointer is not None and mdx < checkpointer.completed_steps:
+            tree_path, chosen, merged, diag = checkpointer.load_step(mdx)
+            left_sets[mdx] = diag["left_set"]
+            right_sets[mdx] = diag["right_set"]
+            raw_pairs[mdx] = diag["pairs"]
+            batch_size[mdx] = diag["batch_size"]
+            skipped[mdx] = diag["skipped"]
+            var_kept[mdx] = 1.0 - diag["lost_var"]
+            if not auto_merge:
+                # consistency: the DFS must address the same subtree AND the
+                # same batch sets as when the checkpoint was written
+                cur_left, cur_right, expect_path = get_next_merge(tree)
+                if (
+                    expect_path != tree_path
+                    or list(cur_left.index) != list(diag["left_set"])
+                    or list(cur_right.index) != list(diag["right_set"])
+                ):
+                    raise ValueError("checkpoint does not match this merge tree")
+                tree = update_tree(tree, tree_path, merged)
+                if not isinstance(tree, list):
+                    final_node = tree
+            else:
+                li, ri = chosen
+                keep = [x for t, x in enumerate(remainders) if t not in (li, ri)]
+                remainders = keep + [merged]
+                stats = diag["stats"]
+                if len(remainders) == 1:
+                    final_node = merged
+            continue
+
         if not auto_merge:
             left, right, path = get_next_merge(tree)
         else:
@@ -246,6 +284,23 @@ def _fast_mnn_core(
             if len(remainders) == 1:
                 final_node = merged
 
+        if checkpointer is not None:
+            checkpointer.save_step(
+                mdx,
+                path if not auto_merge else None,
+                None if not auto_merge else [li, ri],
+                merged,
+                {
+                    "pairs": raw_pairs[mdx],
+                    "lost_var": 1.0 - var_kept[mdx],
+                    "left_set": left_sets[mdx],
+                    "right_set": right_sets[mdx],
+                    "batch_size": batch_size[mdx],
+                    "skipped": bool(skipped[mdx]),
+                    "stats": stats if auto_merge else None,
+                },
+            )
+
     assert final_node is not None
     full_data = final_node.data
     full_order = final_node.index
@@ -317,6 +372,7 @@ def reduced_mnn(
     auto_merge: bool = False,
     min_batch_skip: Optional[float] = 0.0,
     batch_names: Optional[Sequence[str]] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> MNNResult:
     """MNN correction on precomputed low-dimensional coordinates.
 
@@ -337,6 +393,7 @@ def reduced_mnn(
             auto_merge=auto_merge,
             min_batch_skip=min_batch_skip,
             batch_names=batch_names,
+            checkpoint_dir=checkpoint_dir,
         )
 
     x = jnp.asarray(batches_or_single)
@@ -354,6 +411,7 @@ def reduced_mnn(
         auto_merge=auto_merge,
         min_batch_skip=min_batch_skip,
         batch_names=names,
+        checkpoint_dir=checkpoint_dir,
     )
     reo = divided.reorder
     out.corrected = out.corrected[jnp.asarray(reo)]
@@ -383,6 +441,7 @@ def fast_mnn(
     correct_all: bool = False,
     svd_method: str = "gram",
     batch_names: Optional[Sequence[str]] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> MNNResult:
     """Fast MNN batch correction (reference fastMNN, R/fastMNN.R:283-331).
 
@@ -434,6 +493,7 @@ def fast_mnn(
         auto_merge=auto_merge,
         min_batch_skip=min_batch_skip,
         batch_names=batch_names,
+        checkpoint_dir=checkpoint_dir,
     )
     if single:
         reo = divided.reorder

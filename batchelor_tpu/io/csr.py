@@ -1,0 +1,141 @@
+"""Out-of-core CSR storage and blocked device streaming.
+
+The TPU-native analog of the reference's DelayedArray/beachmat block layer
+(SURVEY.md L10 / §2.2 "Block-parallel map"): cell-major CSR matrices stored
+on disk, densified block-by-block through the native C++ runtime and
+streamed to the device as static-shaped padded blocks. This keeps sparse
+inputs sparse at rest and feeds the MXU dense tiles.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..native import bindings as nat
+
+__all__ = ["CSRCells", "dense_blocks"]
+
+_MAGIC = "batchelor-csr-v1"
+
+
+@dataclass
+class CSRCells:
+    """Cells-in-rows CSR matrix (N cells x G genes)."""
+
+    data: np.ndarray       # float32 nnz values
+    indices: np.ndarray    # int32 column ids
+    indptr: np.ndarray     # int64, len N+1
+    n_genes: int
+    gene_names: Optional[list] = None
+
+    @property
+    def n_cells(self) -> int:
+        return self.indptr.shape[0] - 1
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_cells, self.n_genes)
+
+    @staticmethod
+    def from_dense(x: np.ndarray, gene_names=None) -> "CSRCells":
+        x = np.asarray(x, dtype=np.float32)
+        mask = x != 0
+        counts = mask.sum(axis=1)
+        indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        rows, cols = np.nonzero(mask)
+        return CSRCells(
+            data=x[rows, cols].astype(np.float32),
+            indices=cols.astype(np.int32),
+            indptr=indptr,
+            n_genes=x.shape[1],
+            gene_names=list(gene_names) if gene_names is not None else None,
+        )
+
+    def to_dense(self, row_start: int = 0, row_end: Optional[int] = None) -> np.ndarray:
+        if row_end is None:
+            row_end = self.n_cells
+        return nat.csr_densify(
+            self.data, self.indices, self.indptr, row_start, row_end, self.n_genes
+        )
+
+    def row_sums(self) -> np.ndarray:
+        """Per-cell totals (library sizes)."""
+        return nat.csr_row_sums(self.data, self.indptr, self.n_cells)
+
+    def select_genes(self, subset: Sequence[int]) -> "CSRCells":
+        subset = np.asarray(subset)
+        col_map = np.full(self.n_genes, -1, dtype=np.int32)
+        col_map[subset] = np.arange(subset.shape[0], dtype=np.int32)
+        d, i, p = nat.csr_select_columns(self.data, self.indices, self.indptr, col_map)
+        names = (
+            [self.gene_names[j] for j in subset] if self.gene_names is not None else None
+        )
+        return CSRCells(d, i, p, int(subset.shape[0]), names)
+
+    def select_cells(self, rows: Sequence[int]) -> "CSRCells":
+        rows = np.asarray(rows)
+        counts = (self.indptr[rows + 1] - self.indptr[rows]).astype(np.int64)
+        indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        data = np.empty(indptr[-1], dtype=np.float32)
+        indices = np.empty(indptr[-1], dtype=np.int32)
+        for out_r, r in enumerate(rows):
+            src = slice(self.indptr[r], self.indptr[r + 1])
+            dst = slice(indptr[out_r], indptr[out_r + 1])
+            data[dst] = self.data[src]
+            indices[dst] = self.indices[src]
+        return CSRCells(data, indices, indptr, self.n_genes, self.gene_names)
+
+    # -- on-disk format: header json + raw arrays ---------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        header = {
+            "magic": _MAGIC,
+            "n_cells": self.n_cells,
+            "n_genes": self.n_genes,
+            "nnz": int(self.data.shape[0]),
+            "gene_names": self.gene_names,
+        }
+        with open(os.path.join(path, "header.json"), "w") as fh:
+            json.dump(header, fh)
+        self.data.tofile(os.path.join(path, "data.f32"))
+        self.indices.tofile(os.path.join(path, "indices.i32"))
+        self.indptr.tofile(os.path.join(path, "indptr.i64"))
+
+    @staticmethod
+    def load(path: str, mmap: bool = True) -> "CSRCells":
+        with open(os.path.join(path, "header.json")) as fh:
+            header = json.load(fh)
+        if header.get("magic") != _MAGIC:
+            raise ValueError(f"{path} is not a batchelor CSR store")
+        loader = (lambda p, dt: np.memmap(p, dtype=dt, mode="r")) if mmap else (
+            lambda p, dt: np.fromfile(p, dtype=dt)
+        )
+        return CSRCells(
+            data=loader(os.path.join(path, "data.f32"), np.float32),
+            indices=loader(os.path.join(path, "indices.i32"), np.int32),
+            indptr=loader(os.path.join(path, "indptr.i64"), np.int64),
+            n_genes=header["n_genes"],
+            gene_names=header.get("gene_names"),
+        )
+
+
+def dense_blocks(
+    csr: CSRCells, block_rows: int = 8192, pad: bool = True
+) -> Iterator[Tuple[np.ndarray, int]]:
+    """Stream (block, n_valid) dense row blocks; the final block is
+    zero-padded to ``block_rows`` when ``pad`` so device shapes stay static."""
+    n = csr.n_cells
+    for start in range(0, n, block_rows):
+        end = min(start + block_rows, n)
+        block = csr.to_dense(start, end)
+        n_valid = end - start
+        if pad and n_valid < block_rows:
+            block = np.vstack(
+                [block, np.zeros((block_rows - n_valid, csr.n_genes), np.float32)]
+            )
+        yield block, n_valid

@@ -1,0 +1,201 @@
+"""ctypes bindings to the native C++ host runtime (libbatchelor).
+
+Builds the shared library on first use (g++, cached by source mtime) and
+degrades gracefully: every entry point has a pure-numpy fallback, so the
+framework works without a toolchain — the native path is the fast one.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "libbatchelor.cpp")
+_BUILD_DIR = os.path.join(_HERE, "build")
+_SO = os.path.join(_BUILD_DIR, "libbatchelor.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
+        "-march=native", _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except Exception:
+        try:  # retry without -march=native
+            cmd.remove("-march=native")
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return _SO
+        except Exception:
+            return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i64 = ctypes.c_int64
+        lib.bt_mutual_nn.restype = i64
+        lib.bt_mutual_nn.argtypes = [i32p, i64, i64, i32p, i64, i64, i32p, i32p, i64]
+        lib.bt_union_find.restype = None
+        lib.bt_union_find.argtypes = [i64, i64p, i64, i64p]
+        lib.bt_csr_densify.restype = None
+        lib.bt_csr_densify.argtypes = [f32p, i32p, i64p, i64, i64, i64, f32p]
+        lib.bt_csr_row_sums.restype = None
+        lib.bt_csr_row_sums.argtypes = [f32p, i64p, i64, f64p]
+        lib.bt_csr_select_columns.restype = i64
+        lib.bt_csr_select_columns.argtypes = [
+            f32p, i32p, i64p, i64, i32p, f32p, i32p, i64p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def mutual_nn_pairs(l2r: np.ndarray, r2l: np.ndarray):
+    """Mutual pair lists from two kNN index matrices (0-based; the native
+    replacement for the device membership test when indices are already on
+    host). Returns (first, second) ordered by left cell then rank."""
+    l2r = np.ascontiguousarray(l2r, dtype=np.int32)
+    r2l = np.ascontiguousarray(r2l, dtype=np.int32)
+    n1, k2 = l2r.shape
+    n2, k1 = r2l.shape
+    lib = get_lib()
+    if lib is not None:
+        total = lib.bt_mutual_nn(
+            _ptr(l2r, ctypes.c_int32), n1, k2, _ptr(r2l, ctypes.c_int32), n2, k1,
+            None, None, 0,
+        )
+        first = np.empty(total, dtype=np.int32)
+        second = np.empty(total, dtype=np.int32)
+        lib.bt_mutual_nn(
+            _ptr(l2r, ctypes.c_int32), n1, k2, _ptr(r2l, ctypes.c_int32), n2, k1,
+            _ptr(first, ctypes.c_int32), _ptr(second, ctypes.c_int32), total,
+        )
+        return first.astype(np.int64), second.astype(np.int64)
+    # numpy fallback
+    sets = [set(row.tolist()) for row in r2l]
+    firsts, seconds = [], []
+    for i in range(n1):
+        for j in l2r[i]:
+            if i in sets[j]:
+                firsts.append(i)
+                seconds.append(int(j))
+    return np.asarray(firsts, dtype=np.int64), np.asarray(seconds, dtype=np.int64)
+
+
+def union_find(n: int, edges: np.ndarray) -> np.ndarray:
+    """Connected-component labels in first-appearance order."""
+    edges = np.ascontiguousarray(edges, dtype=np.int64).reshape(-1, 2)
+    lib = get_lib()
+    if lib is not None:
+        labels = np.empty(n, dtype=np.int64)
+        lib.bt_union_find(
+            n, _ptr(edges, ctypes.c_int64), edges.shape[0],
+            _ptr(labels, ctypes.c_int64),
+        )
+        return labels
+    from ..correct.cluster_mnn import _union_find_py
+
+    return _union_find_py(n, edges)
+
+
+def csr_densify(data, indices, indptr, row_start, row_end, ncols) -> np.ndarray:
+    """Dense row-major block of CSR rows [row_start, row_end)."""
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    out = np.empty((row_end - row_start, ncols), dtype=np.float32)
+    lib = get_lib()
+    if lib is not None:
+        lib.bt_csr_densify(
+            _ptr(data, ctypes.c_float), _ptr(indices, ctypes.c_int32),
+            _ptr(indptr, ctypes.c_int64), row_start, row_end, ncols,
+            _ptr(out, ctypes.c_float),
+        )
+        return out
+    out[:] = 0
+    for r in range(row_start, row_end):
+        sl = slice(indptr[r], indptr[r + 1])
+        out[r - row_start, indices[sl]] = data[sl]
+    return out
+
+
+def csr_row_sums(data, indptr, nrows) -> np.ndarray:
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(nrows, dtype=np.float64)
+        lib.bt_csr_row_sums(
+            _ptr(data, ctypes.c_float), _ptr(indptr, ctypes.c_int64), nrows,
+            _ptr(out, ctypes.c_double),
+        )
+        return out
+    return np.add.reduceat(
+        data.astype(np.float64), indptr[:-1]
+    ) * (np.diff(indptr) > 0)
+
+
+def csr_select_columns(data, indices, indptr, col_map):
+    """CSR with columns remapped/dropped per col_map (new id or -1)."""
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    col_map = np.ascontiguousarray(col_map, dtype=np.int32)
+    nrows = indptr.shape[0] - 1
+    lib = get_lib()
+    if lib is not None:
+        nnz = lib.bt_csr_select_columns(
+            _ptr(data, ctypes.c_float), _ptr(indices, ctypes.c_int32),
+            _ptr(indptr, ctypes.c_int64), nrows, _ptr(col_map, ctypes.c_int32),
+            None, None, None,
+        )
+        out_data = np.empty(nnz, dtype=np.float32)
+        out_indices = np.empty(nnz, dtype=np.int32)
+        out_indptr = np.empty(nrows + 1, dtype=np.int64)
+        lib.bt_csr_select_columns(
+            _ptr(data, ctypes.c_float), _ptr(indices, ctypes.c_int32),
+            _ptr(indptr, ctypes.c_int64), nrows, _ptr(col_map, ctypes.c_int32),
+            _ptr(out_data, ctypes.c_float), _ptr(out_indices, ctypes.c_int32),
+            _ptr(out_indptr, ctypes.c_int64),
+        )
+        return out_data, out_indices, out_indptr
+    keep = col_map[indices] >= 0
+    out_data = data[keep]
+    out_indices = col_map[indices[keep]]
+    counts = np.add.reduceat(keep.astype(np.int64), indptr[:-1])
+    counts = counts * (np.diff(indptr) > 0)
+    out_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return out_data, out_indices.astype(np.int32), out_indptr

@@ -1,0 +1,103 @@
+"""IO subsystem tests: CSR store/stream + merge checkpoint/resume."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from batchelor_tpu.correct.fast_mnn import reduced_mnn
+from batchelor_tpu.io.checkpoint import (
+    MergeCheckpointer,
+    load_pca_stage,
+    save_pca_stage,
+)
+from batchelor_tpu.io.csr import CSRCells, dense_blocks
+
+
+def _sparse(rng, n, g):
+    x = (rng.random((n, g)) < 0.2) * rng.random((n, g))
+    return x.astype(np.float32)
+
+
+def test_csr_roundtrip(rng, tmp_path):
+    x = _sparse(rng, 100, 40)
+    csr = CSRCells.from_dense(x, gene_names=[f"g{i}" for i in range(40)])
+    assert csr.shape == (100, 40)
+    assert np.allclose(csr.to_dense(), x)
+    csr.save(str(tmp_path / "store"))
+    back = CSRCells.load(str(tmp_path / "store"))
+    assert np.allclose(back.to_dense(), x)
+    assert back.gene_names == csr.gene_names
+    assert np.allclose(back.row_sums(), x.sum(axis=1), atol=1e-4)
+
+
+def test_csr_subsets(rng):
+    x = _sparse(rng, 50, 30)
+    csr = CSRCells.from_dense(x)
+    genes = np.arange(0, 30, 3)
+    assert np.allclose(csr.select_genes(genes).to_dense(), x[:, genes])
+    cells = np.array([5, 1, 40, 7])
+    assert np.allclose(csr.select_cells(cells).to_dense(), x[cells])
+
+
+def test_dense_blocks_padding(rng):
+    x = _sparse(rng, 70, 10)
+    csr = CSRCells.from_dense(x)
+    blocks = list(dense_blocks(csr, block_rows=32))
+    assert len(blocks) == 3
+    assert blocks[0][0].shape == (32, 10) and blocks[0][1] == 32
+    assert blocks[2][0].shape == (32, 10) and blocks[2][1] == 6
+    stitched = np.concatenate([b[:n] for b, n in blocks])
+    assert np.allclose(stitched, x)
+
+
+def test_pca_stage_roundtrip(rng, tmp_path):
+    comps = [rng.normal(size=(10, 4)), rng.normal(size=(12, 4))]
+    rot = rng.normal(size=(20, 4))
+    cen = rng.normal(size=20)
+    save_pca_stage(str(tmp_path / "pca"), comps, rot, cen, ["a", "b"])
+    back = load_pca_stage(str(tmp_path / "pca"))
+    c2, r2, cen2, names = back
+    assert np.allclose(r2, rot)
+    assert np.allclose(cen2, cen)
+    assert names == ["a", "b"]
+    for a, b in zip(comps, c2):
+        assert np.allclose(a, b)
+
+
+def test_merge_checkpoint_resume(rng, tmp_path):
+    b1 = rng.normal(size=(80, 12))
+    b2 = rng.normal(size=(90, 12)) + 1
+    b3 = rng.normal(size=(70, 12)) + 2
+    mats = [jnp.asarray(b) for b in (b1, b2, b3)]
+    ck = str(tmp_path / "merge")
+
+    ref = reduced_mnn(mats)
+    full = reduced_mnn(mats, checkpoint_dir=ck)
+    assert np.allclose(np.asarray(full.corrected), np.asarray(ref.corrected), atol=1e-10)
+    assert MergeCheckpointer(ck).completed_steps == 2
+
+    # resume: all steps replayed from disk, results identical
+    resumed = reduced_mnn(mats, checkpoint_dir=ck)
+    assert np.allclose(
+        np.asarray(resumed.corrected), np.asarray(ref.corrected), atol=1e-12
+    )
+    for a, b in zip(resumed.merge_info, ref.merge_info):
+        assert np.array_equal(a.pairs, b.pairs)
+        assert np.allclose(a.lost_var, b.lost_var, atol=1e-12)
+
+    # mismatched tree detected
+    with pytest.raises(ValueError):
+        reduced_mnn(mats, merge_order=[2, 1, 0], checkpoint_dir=ck)
+
+
+def test_merge_checkpoint_auto(rng, tmp_path):
+    b1 = rng.normal(size=(60, 8))
+    b2 = rng.normal(size=(60, 8)) + 0.5
+    b3 = rng.normal(size=(80, 8)) + 0.6
+    mats = [jnp.asarray(b) for b in (b1, b2, b3)]
+    ck = str(tmp_path / "auto")
+    ref = reduced_mnn(mats, auto_merge=True)
+    _ = reduced_mnn(mats, auto_merge=True, checkpoint_dir=ck)
+    resumed = reduced_mnn(mats, auto_merge=True, checkpoint_dir=ck)
+    assert np.allclose(
+        np.asarray(resumed.corrected), np.asarray(ref.corrected), atol=1e-12
+    )

@@ -1,0 +1,75 @@
+"""Native C++ runtime tests (fallback paths tested alongside)."""
+import numpy as np
+import pytest
+
+from batchelor_tpu.native import bindings as nat
+
+
+def test_native_builds():
+    lib = nat.get_lib()
+    assert lib is not None, "native library should build in this environment"
+    assert lib.bt_version() == 1
+
+
+def test_mutual_nn_pairs_matches_oracle(rng):
+    import oracle
+
+    left = rng.normal(size=(60, 5))
+    right = rng.normal(size=(80, 5))
+    oidx_l2r, _ = oracle.knn(left, right, 12)
+    oidx_r2l, _ = oracle.knn(right, left, 9)
+    first, second = nat.mutual_nn_pairs(oidx_l2r, oidx_r2l)
+    of, os_ = oracle.find_mutual_nn(left, right, 9, 12)
+    assert np.array_equal(first, of)
+    assert np.array_equal(second, os_)
+
+
+def test_union_find_native():
+    edges = np.array([[0, 1], [2, 3], [1, 2], [5, 6]])
+    lab = nat.union_find(7, edges)
+    assert lab[0] == lab[1] == lab[2] == lab[3]
+    assert lab[5] == lab[6]
+    assert len({int(lab[0]), int(lab[4]), int(lab[5])}) == 3
+    # first-appearance labelling
+    assert lab[0] == 0
+
+
+@pytest.fixture
+def csr(rng):
+    dense = (rng.random((30, 15)) < 0.3) * rng.random((30, 15))
+    dense = dense.astype(np.float32)
+    indptr = [0]
+    indices, data = [], []
+    for row in dense:
+        nz = np.nonzero(row)[0]
+        indices.extend(nz.tolist())
+        data.extend(row[nz].tolist())
+        indptr.append(len(indices))
+    return (
+        np.asarray(data, np.float32),
+        np.asarray(indices, np.int32),
+        np.asarray(indptr, np.int64),
+        dense,
+    )
+
+
+def test_csr_densify(csr):
+    data, indices, indptr, dense = csr
+    block = nat.csr_densify(data, indices, indptr, 5, 20, dense.shape[1])
+    assert np.allclose(block, dense[5:20])
+
+
+def test_csr_row_sums(csr):
+    data, indices, indptr, dense = csr
+    sums = nat.csr_row_sums(data, indptr, dense.shape[0])
+    assert np.allclose(sums, dense.sum(axis=1), atol=1e-5)
+
+
+def test_csr_select_columns(csr):
+    data, indices, indptr, dense = csr
+    keep = np.arange(0, 15, 2)
+    col_map = np.full(15, -1, dtype=np.int32)
+    col_map[keep] = np.arange(keep.shape[0])
+    d2, i2, p2 = nat.csr_select_columns(data, indices, indptr, col_map)
+    out = nat.csr_densify(d2, i2, p2, 0, dense.shape[0], keep.shape[0])
+    assert np.allclose(out, dense[:, keep])
