@@ -37,6 +37,7 @@ from ..utils.batching import (
     reindex_pairings,
     restore_original_order,
 )
+from ..utils.telemetry import get_recorder, trace_span
 from ..utils.trees import MergeNode, create_tree_predefined, get_next_merge, update_tree
 
 __all__ = ["fast_mnn", "reduced_mnn", "MNNResult", "MergeStepInfo"]
@@ -207,12 +208,14 @@ def _fast_mnn_core(
 
         # Replay earlier batch vectors on the opposite side before MNN search
         # (reference R/fastMNN.R:472-474).
-        right_data = orthogonalize_other(right.data, right.restrict, left.extras)
-        left_data = orthogonalize_other(left.data, left.restrict, right.extras)
+        with trace_span("fastmnn/orthogonalize", step=mdx):
+            right_data = orthogonalize_other(right.data, right.restrict, left.extras)
+            left_data = orthogonalize_other(left.data, left.restrict, right.extras)
 
-        pairs = restricted_mnn(
-            left_data, left.restrict, right_data, right.restrict, k=k, prop_k=prop_k
-        )
+        with trace_span("fastmnn/mnn_search", step=mdx):
+            pairs = restricted_mnn(
+                left_data, left.restrict, right_data, right.restrict, k=k, prop_k=prop_k
+            )
         if pairs.first.shape[0] == 0:
             raise ValueError(
                 f"no MNN pairs found at merge step {mdx}; increase k or check inputs"
@@ -230,21 +233,22 @@ def _fast_mnn_core(
                 skipped[mdx] = True
 
         if do_correct:
-            left_data = center_along_batch_vector(left_data, overall, left.restrict)
-            right_data = center_along_batch_vector(right_data, overall, right.restrict)
-            left_new = per_batch_var(left_data, left.index, left.origin)
-            right_new = per_batch_var(right_data, right.index, right.origin)
-            to_add = [overall]
-            re_avg, second = average_correction(
-                left_data, pairs.first, right_data, pairs.second
-            )
-            right_data = tricube_weighted_correction(
-                right_data,
-                re_avg,
-                second,
-                k=choose_k(k, prop_k, right_data.shape[0]),
-                ndist=ndist,
-            )
+            with trace_span("fastmnn/correct", step=mdx):
+                left_data = center_along_batch_vector(left_data, overall, left.restrict)
+                right_data = center_along_batch_vector(right_data, overall, right.restrict)
+                left_new = per_batch_var(left_data, left.index, left.origin)
+                right_new = per_batch_var(right_data, right.index, right.origin)
+                to_add = [overall]
+                re_avg, second = average_correction(
+                    left_data, pairs.first, right_data, pairs.second
+                )
+                right_data = tricube_weighted_correction(
+                    right_data,
+                    re_avg,
+                    second,
+                    k=choose_k(k, prop_k, right_data.shape[0]),
+                    ndist=ndist,
+                )
         else:
             to_add = []
             left_new = per_batch_var(left_data, left.index, left.origin)
@@ -254,6 +258,11 @@ def _fast_mnn_core(
             var_kept[mdx, left.index] = left_new / left_old
             var_kept[mdx, right.index] = right_new / right_old
         raw_pairs[mdx] = np.stack([pairs.first, pairs.second], axis=1)
+        rec = get_recorder()
+        if rec is not None:
+            rec.add("merge_steps")
+            rec.add("mnn_pairs", float(pairs.first.shape[0]))
+            rec.add("cells_merged", float(left.data.shape[0] + right.data.shape[0]))
 
         merged = MergeNode(
             index=list(left.index) + list(right.index),

@@ -77,18 +77,61 @@ class MultiBatchPCAResult:
     batch_names: Optional[list] = None
 
 
+def _randomized_psd_eigh(gram: jnp.ndarray, d: int, iters: int = 8, oversample: int = 16):
+    """Top-d eigenpairs of a PSD matrix by subspace iteration.
+
+    Matmul-only (MXU-friendly, no O(G^3) LAPACK eigh): power iterations with
+    CholeskyQR re-orthonormalization, then a small Rayleigh-Ritz eigh. The
+    TPU analog of the reference's RandomParam/rsvd BSPARAM option
+    (R/multiBatchPCA.R:72-74). Deterministic: fixed seed.
+    """
+    g = gram.shape[0]
+    p = min(d + oversample, g)
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (g, p), gram.dtype)
+
+    def chol_qr(y):
+        r = jnp.linalg.cholesky(y.T @ y + 1e-30 * jnp.eye(p, dtype=y.dtype))
+        return jax.scipy.linalg.solve_triangular(r, y.T, lower=True).T
+
+    def body(q, _):
+        return chol_qr(gram @ q), None
+
+    q, _ = jax.lax.scan(body, chol_qr(q), None, length=iters)
+    b = q.T @ (gram @ q)
+    b = (b + b.T) / 2
+    w, u = jnp.linalg.eigh(b)
+    w = w[::-1][:d]
+    v = (q @ u[:, ::-1])[:, :d]
+    return w, v
+
+
 @functools.partial(jax.jit, static_argnames=("d", "method"))
 def _scaled_svd(scaled: jnp.ndarray, d: int, method: str):
     """Top-d right singular vectors of ``scaled`` (sum-N x G).
 
     Returns (V (G, d), singvals (d,), U (sumN, d)). ``method``:
-    "gram" uses the eigendecomposition of the smaller-side cross-product;
-    "direct" uses a full SVD (more accurate, more FLOPs).
+    "gram" uses the exact eigendecomposition of the smaller-side
+    cross-product; "randomized" uses matmul-only subspace iteration on the
+    Gram (fast on TPU for large G, accurate for d << G); "direct" uses a
+    full SVD (most accurate, most FLOPs).
     """
     n, g = scaled.shape
     if method == "direct":
         u, s, vt = jnp.linalg.svd(scaled, full_matrices=False)
         return vt[:d].T, s[:d], u[:, :d]
+    if method == "randomized":
+        if g <= n:
+            gram = scaled.T @ scaled
+            evals, v = _randomized_psd_eigh(gram, d)
+            s = jnp.sqrt(jnp.maximum(evals, 0.0))
+            u = (scaled @ v) / jnp.maximum(s, jnp.finfo(scaled.dtype).tiny)[None, :]
+            return v, s, u
+        gram = scaled @ scaled.T
+        evals, u = _randomized_psd_eigh(gram, d)
+        s = jnp.sqrt(jnp.maximum(evals, 0.0))
+        v = (scaled.T @ u) / jnp.maximum(s, jnp.finfo(scaled.dtype).tiny)[None, :]
+        return v, s, u
     if g <= n:
         gram = scaled.T @ scaled                      # (G, G)
         evals, evecs = jnp.linalg.eigh(gram)

@@ -49,22 +49,22 @@ def main():
     db1 = jax.device_put(jnp.asarray(b1))
     db2 = jax.device_put(jnp.asarray(b2))
 
+    @jax.jit
     def pipeline(x1, x2):
         n1 = apply_cosine_norm(x1, l2_norms(x1))
         n2 = apply_cosine_norm(x2, l2_norms(x2))
-        pca = multi_batch_pca([n1, n2], d=D)
+        pca = multi_batch_pca([n1, n2], d=D, method="randomized")
         out = fused_merge_step(pca.components[0], pca.components[1], K, K)
-        return out.right, out.n_pairs
+        # scalar checksum: forces full execution with a tiny host transfer
+        # (block_until_ready is unreliable over the axon tunnel)
+        return jnp.sum(out.right) + out.n_pairs.astype(jnp.float32)
 
-    # warmup/compile
-    right, n_pairs = pipeline(db1, db2)
-    right.block_until_ready()
+    _ = float(pipeline(db1, db2))  # warmup/compile
 
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        right, n_pairs = pipeline(db1, db2)
-        right.block_until_ready()
+        _ = float(pipeline(db1, db2))
         times.append(time.perf_counter() - t0)
 
     elapsed = min(times)

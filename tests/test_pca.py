@@ -39,6 +39,21 @@ def test_pca_matches_oracle(rng, method):
         assert_equal_besides_sign(mine, theirs, atol=1e-6)
 
 
+def test_pca_randomized_subspace(rng):
+    # The randomized path (reference RandomParam analog) matches the exact
+    # subspace and singular values, but not per-component vectors on flat
+    # spectra — the reference's own tests force ExactParam for the same
+    # reason (test-fast-mnn.R:130). Give the data a decaying spectrum.
+    base = rng.normal(size=(120, 40)) * (np.linspace(4, 0.1, 40)[None, :])
+    mats = [base[:60], base[60:] + 1.0]
+    res = multi_batch_pca([jnp.asarray(m) for m in mats], d=8, method="randomized")
+    ref = multi_batch_pca([jnp.asarray(m) for m in mats], d=8, method="direct")
+    # same projector onto the top-8 subspace
+    p1 = np.asarray(res.rotation) @ np.asarray(res.rotation).T
+    p2 = np.asarray(ref.rotation) @ np.asarray(ref.rotation).T
+    assert np.allclose(p1, p2, atol=1e-5)
+
+
 def test_pca_equal_batches_equiv_plain_pca(rng):
     # For equal-size batches, multiBatchPCA == PCA on rbind with grand-mean
     # centering (reference test-multi-pca.R:33-37).
