@@ -24,41 +24,52 @@ from .fast_mnn import MNNResult, reduced_mnn
 __all__ = ["cluster_mnn", "kmeans_clusters", "ClusterMNNResult"]
 
 
-def kmeans_clusters(x: jnp.ndarray, n_clusters: int, n_iter: int = 50, seed: int = 0):
-    """Simple deterministic k-means (k-means++ init) for the auto-clustering
-    path (reference's BlusterParam option, R/clusterMNN.R:200-218)."""
-    x = jnp.asarray(x)
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("n_clusters", "n_iter", "seed"))
+def _kmeans_jit(x: jnp.ndarray, n_clusters: int, n_iter: int, seed: int):
     key = jax.random.PRNGKey(seed)
     n = x.shape[0]
+    xsq = jnp.sum(jnp.square(x), axis=1)
 
-    # k-means++ seeding
+    # k-means++ seeding, fully traced
     idx0 = jax.random.randint(key, (), 0, n)
-    centers = [x[idx0]]
-    for i in range(1, n_clusters):
-        c = jnp.stack(centers)
-        d2 = jnp.min(
-            jnp.sum(jnp.square(x[:, None, :] - c[None, :, :]), axis=-1), axis=1
-        )
+    centers0 = jnp.zeros((n_clusters, x.shape[1]), x.dtype).at[0].set(x[idx0])
+
+    def seed_body(i, carry):
+        centers, key = carry
+        csq = jnp.sum(jnp.square(centers), axis=1)
+        d2 = xsq[:, None] - 2 * x @ centers.T + csq[None, :]
+        mask = jnp.arange(n_clusters) < i
+        d2 = jnp.min(jnp.where(mask[None, :], d2, jnp.inf), axis=1)
+        d2 = jnp.maximum(d2, 0.0)
         key, sub = jax.random.split(key)
-        probs = d2 / jnp.sum(d2)
-        centers.append(x[jax.random.categorical(sub, jnp.log(probs + 1e-30))])
-    c = jnp.stack(centers)
+        pick = jax.random.categorical(sub, jnp.log(d2 / jnp.sum(d2) + 1e-30))
+        return centers.at[i].set(x[pick]), key
+
+    centers, _ = jax.lax.fori_loop(1, n_clusters, seed_body, (centers0, key))
 
     def step(c, _):
-        d2 = (
-            jnp.sum(jnp.square(x), axis=1)[:, None]
-            - 2 * x @ c.T
-            + jnp.sum(jnp.square(c), axis=1)[None, :]
-        )
+        d2 = xsq[:, None] - 2 * x @ c.T + jnp.sum(jnp.square(c), axis=1)[None, :]
         assign = jnp.argmin(d2, axis=1)
         sums = jax.ops.segment_sum(x, assign, num_segments=n_clusters)
-        counts = jax.ops.segment_sum(jnp.ones(n), assign, num_segments=n_clusters)
+        counts = jax.ops.segment_sum(
+            jnp.ones(n, x.dtype), assign, num_segments=n_clusters
+        )
         newc = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1)[:, None], c)
-        return newc, assign
+        return newc, None
 
-    for _ in range(n_iter):
-        c, assign = step(c, None)
-    return np.asarray(assign)
+    c, _ = jax.lax.scan(step, centers, None, length=n_iter)
+    d2 = xsq[:, None] - 2 * x @ c.T + jnp.sum(jnp.square(c), axis=1)[None, :]
+    return jnp.argmin(d2, axis=1)
+
+
+def kmeans_clusters(x: jnp.ndarray, n_clusters: int, n_iter: int = 50, seed: int = 0):
+    """Deterministic k-means (k-means++ init), one jit call, for the
+    auto-clustering path (reference's BlusterParam option,
+    R/clusterMNN.R:200-218)."""
+    return np.asarray(_kmeans_jit(jnp.asarray(x), n_clusters, n_iter, seed))
 
 
 def _union_find(n: int, edges: np.ndarray) -> np.ndarray:
@@ -203,12 +214,15 @@ def cluster_mnn(
     # full-rank PCA of the centroids (reference .full_rank_pca,
     # R/clusterMNN.R:174-184): d = total#centroids - 1, exact.
     total_centroids = sum(c.shape[0] for c in centers)
+    # "gram" picks the smaller-side cross-product: with few centroids this
+    # is a tiny (n_centroids x n_centroids) eigh. (jnp.linalg.svd compiles
+    # pathologically slowly on TPU, so avoid "direct" here.)
     pca = multi_batch_pca(
         centers,
         d=total_centroids - 1,
         subset_row=subset_row,
         get_all_genes=correct_all and subset_row is not None,
-        method="direct",
+        method="gram",
         batch_names=batch_names,
     )
 

@@ -18,9 +18,25 @@ __all__ = ["get_bio_span", "subtract_bio"]
 
 @functools.partial(jax.jit, static_argnames=("ndim",))
 def _span(x: jnp.ndarray, ndim: int):
+    """Top-ndim (V, s, U) of the column-centred matrix via the smaller-side
+    cross-product eigh (jnp.linalg.svd compiles pathologically slowly on
+    TPU; an exact eigh of the small Gram is equivalent)."""
     centered = x - jnp.mean(x, axis=0, keepdims=True)
-    u, s, vt = jnp.linalg.svd(centered, full_matrices=False)
-    return vt[:ndim].T, s[:ndim], u[:, :ndim]
+    n, g = centered.shape
+    tiny = jnp.finfo(x.dtype).tiny
+    if n <= g:
+        k = centered @ centered.T
+        evals, evecs = jnp.linalg.eigh(k)
+        s = jnp.sqrt(jnp.maximum(evals[::-1][:ndim], 0.0))
+        u = evecs[:, ::-1][:, :ndim]
+        v = (centered.T @ u) / jnp.maximum(s, tiny)[None, :]
+        return v, s, u
+    c = centered.T @ centered
+    evals, evecs = jnp.linalg.eigh(c)
+    s = jnp.sqrt(jnp.maximum(evals[::-1][:ndim], 0.0))
+    v = evecs[:, ::-1][:, :ndim]
+    u = (centered @ v) / jnp.maximum(s, tiny)[None, :]
+    return v, s, u
 
 
 def get_bio_span(

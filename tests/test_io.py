@@ -101,3 +101,27 @@ def test_merge_checkpoint_auto(rng, tmp_path):
     assert np.allclose(
         np.asarray(resumed.corrected), np.asarray(ref.corrected), atol=1e-12
     )
+
+
+def test_outofcore_pca_matches_dense(rng):
+    from batchelor_tpu.ops.pca import multi_batch_pca
+    from batchelor_tpu.ops.pca_outofcore import multi_batch_pca_csr
+
+    x1 = (_sparse(rng, 120, 40) * 3).astype(np.float32)
+    x2 = (_sparse(rng, 90, 40) * 3).astype(np.float32)
+    csrs = [CSRCells.from_dense(x1), CSRCells.from_dense(x2)]
+    ooc = multi_batch_pca_csr(csrs, d=6, block_rows=32, eig_method="exact")
+    ref = multi_batch_pca([jnp.asarray(x1), jnp.asarray(x2)], d=6)
+    assert np.allclose(np.asarray(ooc.centers), np.asarray(ref.centers), atol=1e-5)
+    # same subspace (sign-invariant per component)
+    a, b = np.asarray(ooc.rotation), np.asarray(ref.rotation)
+    for j in range(6):
+        assert np.allclose(a[:, j], b[:, j], atol=1e-4) or np.allclose(
+            a[:, j], -b[:, j], atol=1e-4
+        )
+    for mine, theirs in zip(ooc.components, ref.components):
+        m, t = np.asarray(mine), np.asarray(theirs)
+        for j in range(6):
+            assert np.allclose(m[:, j], t[:, j], atol=1e-3) or np.allclose(
+                m[:, j], -t[:, j], atol=1e-3
+            )
