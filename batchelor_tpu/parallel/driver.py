@@ -1,0 +1,382 @@
+"""Distributed fastMNN: full merge-tree runs over the cells mesh.
+
+Host-side merge orchestration (same tree semantics as correct/fast_mnn.py)
+where every step executes as one shard_map-compiled SPMD program:
+all-gathers of the opposing set over ICI, psum reductions for means/
+variances/segment averages, replicated small state. Restriction masks and
+orthogonalization replay (extras) are carried as device arrays.
+
+This is the scale-out path for BASELINE configs 4/5 (1M/10M cells); the
+host path in correct/fast_mnn.py remains the reference-parity engine.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..correct.fast_mnn import MergeStepInfo, MNNResult
+from ..ops.knn import query_knn
+from ..ops.mutual_nn import choose_k
+from ..utils.batching import reindex_pairings, restore_original_order
+from ..utils.trees import binarize_tree
+from .mesh import CELLS_AXIS, cells_sharding, pad_to_multiple
+
+shard_map = jax.shard_map
+
+__all__ = ["distributed_fast_mnn"]
+
+
+def _psum(x):
+    return lax.psum(x, CELLS_AXIS)
+
+
+def _center_shard(shard, stat_mask, v, dt):
+    loc = shard @ v
+    total = _psum(jnp.sum(jnp.where(stat_mask, loc, 0.0)))
+    cnt = _psum(jnp.sum(stat_mask.astype(dt)))
+    mean = total / cnt
+    return shard + jnp.outer(mean - loc, v), mean
+
+
+def _step_local(
+    lshard, rshard, lvalid, rvalid, lres, rres, lextras, rextras,
+    k1: int, k2: int, tricube_k: int, ndist: float, min_batch_skip: float,
+):
+    """Per-device body of one merge step (cf. fused.fused_merge_step)."""
+    dt = lshard.dtype
+    d = lshard.shape[1]
+    my = lax.axis_index(CELLS_AXIS)
+    nsl = lshard.shape[0]
+
+    # orthogonalization replay (reference R/fastMNN.R:472-474)
+    for i in range(lextras.shape[0]):
+        vec = lextras[i]
+        v = vec / jnp.sqrt(jnp.sum(jnp.square(vec)))
+        rshard, _ = _center_shard(rshard, rres & rvalid, v, dt)
+    for i in range(rextras.shape[0]):
+        vec = rextras[i]
+        v = vec / jnp.sqrt(jnp.sum(jnp.square(vec)))
+        lshard, _ = _center_shard(lshard, lres & lvalid, v, dt)
+
+    full_right = lax.all_gather(rshard, CELLS_AXIS, tiled=True)
+    full_left = lax.all_gather(lshard, CELLS_AXIS, tiled=True)
+    frv = lax.all_gather(rvalid & rres, CELLS_AXIS, tiled=True)
+    flv = lax.all_gather(lvalid & lres, CELLS_AXIS, tiled=True)
+    n2 = full_right.shape[0]
+
+    l2r, _ = query_knn(lshard, full_right, k2, data_mask=frv)
+    r2l, _ = query_knn(rshard, full_left, k1, data_mask=flv)
+    r2l_full = lax.all_gather(r2l, CELLS_AXIS, tiled=True)
+    my_ids = my * nsl + jnp.arange(nsl, dtype=l2r.dtype)
+    mutual = jnp.any(r2l_full[l2r] == my_ids[:, None, None], axis=-1)
+    mutual = mutual & (lres & lvalid)[:, None]
+    n_pairs = _psum(jnp.sum(mutual))
+
+    def averaged(l_rows, right_full):
+        diffs = l_rows[:, None, :] - right_full[l2r]
+        w = mutual.astype(dt)
+        seg = jnp.where(mutual, l2r, n2).reshape(-1)
+        sums = _psum(
+            jax.ops.segment_sum(
+                (diffs * w[:, :, None]).reshape(-1, d), seg, num_segments=n2 + 1
+            )[:n2]
+        )
+        counts = _psum(
+            jax.ops.segment_sum(w.reshape(-1), seg, num_segments=n2 + 1)[:n2]
+        )
+        return sums / jnp.maximum(counts, 1.0)[:, None], counts > 0
+
+    avg, involved = averaged(lshard, full_right)
+    n_involved = jnp.maximum(jnp.sum(involved), 1)
+    overall = jnp.sum(jnp.where(involved[:, None], avg, 0.0), axis=0) / n_involved
+    denom = jnp.sum(jnp.sum(jnp.square(avg), axis=1) * involved) / n_involved
+    num = jnp.sum(jnp.square(overall))
+    magnitude = jnp.where(
+        denom == 0, 0.0, jnp.sqrt(num / jnp.where(denom == 0, 1.0, denom))
+    )
+    do_correct = magnitude >= min_batch_skip
+
+    v = overall / jnp.sqrt(jnp.sum(jnp.square(overall)))
+    lshard_c, _ = _center_shard(lshard, lres & lvalid, v, dt)
+    rshard_c, mean_r = _center_shard(rshard, rres & rvalid, v, dt)
+    lshard_c = jnp.where(do_correct, lshard_c, lshard)
+    rshard_c = jnp.where(do_correct, rshard_c, rshard)
+
+    loc_fr = full_right @ v
+    full_right_c = jnp.where(
+        do_correct, full_right + jnp.outer(mean_r - loc_fr, v), full_right
+    )
+
+    avg2, _ = averaged(lshard_c, full_right_c)
+
+    frv_all = lax.all_gather(rvalid, CELLS_AXIS, tiled=True)
+    idx, dist = query_knn(
+        rshard_c, full_right_c, tricube_k, data_mask=involved & frv_all
+    )
+    middle = -(-tricube_k // 2) - 1
+    bandwidth = jnp.maximum(dist[:, middle] * ndist, 1e-8)
+    rel = jnp.minimum(dist / bandwidth[:, None], 1.0)
+    tri = (1.0 - rel**3) ** 3
+    w = tri / jnp.sum(tri, axis=1, keepdims=True)
+    correction = jnp.einsum("nk,nkd->nd", w, avg2[idx])
+    right_out = jnp.where(do_correct, rshard_c + correction, rshard_c)
+
+    return lshard_c, right_out, overall, magnitude, n_pairs, mutual, l2r
+
+
+@dataclass
+class _DevBatch:
+    """Sharded per-node state: padded data + masks, host-side bookkeeping."""
+
+    data: jnp.ndarray          # (N_pad, d) sharded
+    valid: jnp.ndarray         # (N_pad,) sharded padding mask
+    res: jnp.ndarray           # (N_pad,) sharded restriction mask
+    n: int                     # valid cells
+    origin: np.ndarray         # (n,) batch id per valid cell
+    index: list
+    extras: list               # list of (d,) replicated batch vectors
+
+
+def _make_dev_batch(mesh, x, i, restrict):
+    ndev = mesh.devices.size
+    xpad, n = pad_to_multiple(jnp.asarray(x), ndev)
+    valid = jnp.arange(xpad.shape[0]) < n
+    if restrict is None:
+        res = valid
+    else:
+        m = np.zeros(xpad.shape[0], dtype=bool)
+        m[np.asarray(restrict)] = True
+        res = jnp.asarray(m)
+    sh = cells_sharding(mesh)
+    msk = NamedSharding(mesh, P(CELLS_AXIS))
+    return _DevBatch(
+        data=jax.device_put(xpad, sh),
+        valid=jax.device_put(valid, msk),
+        res=jax.device_put(res, msk),
+        n=n,
+        origin=np.full(n, i, dtype=np.int64),
+        index=[i],
+        extras=[],
+    )
+
+
+def _int_tree(nb: int, merge_order):
+    """Binary int-leaf merge tree (same semantics as create_tree_predefined
+    without node filling)."""
+    if merge_order is None:
+        merge_order = list(range(nb))
+    if not isinstance(merge_order, list) or not any(
+        isinstance(x, (list, tuple)) for x in merge_order
+    ):
+        mo = list(merge_order)
+        tree = [mo[0], mo[1]] if len(mo) > 1 else mo[0]
+        for nxt in mo[2:]:
+            tree = [tree, nxt]
+    else:
+        tree = list(merge_order)
+    tree = binarize_tree(tree)
+
+    def leaves(t):
+        return [t] if not isinstance(t, list) else leaves(t[0]) + leaves(t[1])
+
+    if sorted(leaves(tree)) != list(range(nb)):
+        raise ValueError("invalid leaf nodes specified in 'merge_order'")
+    return tree
+
+
+def _tree_next(tree):
+    path = []
+    cur = tree
+    while True:
+        l_int = isinstance(cur[0], list)
+        r_int = isinstance(cur[1], list)
+        if not l_int and not r_int:
+            return cur[0], cur[1], path
+        if r_int:
+            path.append(1)
+            cur = cur[1]
+        else:
+            path.append(0)
+            cur = cur[0]
+
+
+def _tree_update(tree, path, node):
+    if not path:
+        return node
+    tree = list(tree)
+    tree[path[0]] = _tree_update(tree[path[0]], path[1:], node)
+    return tree
+
+
+def _concat_dev(mesh, left: _DevBatch, right: _DevBatch, lc, rc, overall, skipped):
+    """Merge two sharded padded blocks (device-side concat + re-shard)."""
+    sh = cells_sharding(mesh)
+    msk = NamedSharding(mesh, P(CELLS_AXIS))
+    data = jnp.concatenate([lc, rc], axis=0)
+    valid = jnp.concatenate([left.valid, right.valid])
+    res = jnp.concatenate([left.res, right.res])
+    ndev = mesh.devices.size
+    pad_to = -(-data.shape[0] // ndev) * ndev
+    if pad_to != data.shape[0]:
+        extra = pad_to - data.shape[0]
+        data = jnp.concatenate([data, jnp.zeros((extra, data.shape[1]), data.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((extra,), bool)])
+        res = jnp.concatenate([res, jnp.zeros((extra,), bool)])
+    extras = list(left.extras) + list(right.extras)
+    if not skipped:
+        extras = extras + [overall]
+    return _DevBatch(
+        data=jax.device_put(data, sh),
+        valid=jax.device_put(valid, msk),
+        res=jax.device_put(res, msk),
+        n=left.n + right.n,
+        origin=np.concatenate([left.origin, right.origin]),
+        index=list(left.index) + list(right.index),
+        extras=extras,
+    )
+
+
+def distributed_fast_mnn(
+    batches: Sequence[jnp.ndarray],
+    mesh: Mesh,
+    *,
+    k: int = 20,
+    prop_k: Optional[float] = None,
+    ndist: float = 3.0,
+    merge_order=None,
+    min_batch_skip: float = 0.0,
+    restrict: Optional[Sequence[Optional[np.ndarray]]] = None,
+    collect_pairs: bool = True,
+) -> MNNResult:
+    """Full fastMNN correction on precomputed coordinates, cells sharded
+    over ``mesh``. Matches reduced_mnn for the supported options
+    (predefined merge orders, restriction, min_batch_skip); lost_var is not
+    computed in this path (reported as nan).
+    """
+    nb = len(batches)
+    if nb < 2:
+        raise ValueError("at least two batches must be specified")
+    if restrict is None:
+        restrict = [None] * nb
+    nodes = [_make_dev_batch(mesh, b, i, restrict[i]) for i, b in enumerate(batches)]
+    d = int(batches[0].shape[1])
+    dt = nodes[0].data.dtype
+
+    tree = _int_tree(nb, merge_order)
+
+    def fill(t):
+        return nodes[t] if not isinstance(t, list) else [fill(t[0]), fill(t[1])]
+
+    tree = fill(tree)
+
+    nmerges = nb - 1
+    infos: List[MergeStepInfo] = []
+    step_meta = []
+    spec_data = P(CELLS_AXIS, None)
+    spec_mask = P(CELLS_AXIS)
+    final = None
+
+    for mdx in range(nmerges):
+        left, right, path = _tree_next(tree)
+        k1 = choose_k(k, prop_k, left.n)
+        k2 = choose_k(k, prop_k, right.n)
+        tric_k = min(choose_k(k, prop_k, right.n), right.n)
+
+        step = shard_map(
+            functools.partial(
+                _step_local,
+                k1=k1, k2=k2, tricube_k=tric_k, ndist=ndist,
+                min_batch_skip=min_batch_skip,
+            ),
+            mesh=mesh,
+            in_specs=(
+                spec_data, spec_data, spec_mask, spec_mask, spec_mask, spec_mask,
+                P(), P(),
+            ),
+            out_specs=(
+                spec_data, spec_data, P(), P(), P(),
+                P(CELLS_AXIS, None), P(CELLS_AXIS, None),
+            ),
+            check_vma=False,
+        )
+        lex = jnp.stack(left.extras) if left.extras else jnp.zeros((0, d), dt)
+        rex = jnp.stack(right.extras) if right.extras else jnp.zeros((0, d), dt)
+        lc, rc, overall, mag, n_pairs, mutual, l2r = jax.jit(step)(
+            left.data, right.data, left.valid, right.valid, left.res, right.res,
+            lex, rex,
+        )
+
+        mag_f = float(mag)
+        skipped = mag_f < min_batch_skip
+        pairs = np.empty((0, 2), dtype=np.int64)
+        if collect_pairs:
+            mm = np.asarray(mutual)
+            tt = np.asarray(l2r)
+            lv = np.asarray(left.valid)
+            rv = np.asarray(right.valid)
+            lmap = np.cumsum(lv) - 1      # padded left pos -> compact pos
+            rmap = np.cumsum(rv) - 1
+            rows, cols = np.nonzero(mm)
+            pairs = np.stack(
+                [lmap[rows], rmap[tt[rows, cols]]], axis=1
+            ).astype(np.int64)
+
+        infos.append(
+            MergeStepInfo(
+                left=list(left.index),
+                right=list(right.index),
+                pairs=pairs,
+                batch_size=mag_f,
+                skipped=skipped,
+                lost_var=np.full(nb, np.nan),
+            )
+        )
+        step_meta.append((list(left.index), list(right.index)))
+
+        merged = _concat_dev(mesh, left, right, lc, rc, overall, skipped)
+        tree = _tree_update(tree, path, merged)
+        if not isinstance(tree, list):
+            final = tree
+
+    assert final is not None
+    fd = np.asarray(final.data)
+    fv = np.asarray(final.valid)
+    full_data = fd[fv]
+    origin = final.origin
+    full_order = final.index
+
+    # pair offsets: each node's compact cells are contiguous in the final
+    # data, starting at its first batch's block (host-engine convention)
+    offset_map = {}
+    pos = 0
+    for b in full_order:
+        offset_map[b] = pos
+        pos += int(np.sum(origin == b))
+    for info, (lset, rset) in zip(infos, step_meta):
+        if info.pairs.size:
+            p = info.pairs.copy()
+            p[:, 0] += offset_map[lset[0]]
+            p[:, 1] += offset_map[rset[0]]
+            info.pairs = p
+
+    if any(full_order[i] > full_order[i + 1] for i in range(len(full_order) - 1)):
+        ncells = np.bincount(origin, minlength=nb)
+        ordering = restore_original_order(full_order, ncells)
+        full_data = full_data[ordering]
+        origin = origin[ordering]
+        new_pairs = reindex_pairings([i.pairs for i in infos], ordering)
+        for info, p in zip(infos, new_pairs):
+            info.pairs = p
+
+    return MNNResult(
+        corrected=jnp.asarray(full_data),
+        batch=origin,
+        merge_info=infos,
+    )
