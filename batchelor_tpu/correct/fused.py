@@ -36,7 +36,9 @@ class FusedMergeOutput(NamedTuple):
     pair_targets: jnp.ndarray  # (N1, k2) right-cell index per candidate
 
 
-@functools.partial(jax.jit, static_argnames=("k1", "k2", "tricube_k", "ndist"))
+@functools.partial(
+    jax.jit, static_argnames=("k1", "k2", "tricube_k", "ndist", "knn_method")
+)
 def fused_merge_step(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -45,19 +47,23 @@ def fused_merge_step(
     tricube_k: int = 20,
     ndist: float = 3.0,
     min_batch_skip: float = 0.0,
+    knn_method: str = "exact",
 ) -> FusedMergeOutput:
     """One fastMNN merge: MNN detection, orthogonalization, tricube apply.
 
     left: (N1, d) reference set; right: (N2, d) set being corrected.
-    k1/k2: neighbours searched in left/right respectively.
+    k1/k2: neighbours searched in left/right respectively. ``knn_method``
+    selects the kNN backend ("exact" | "approx"; see ops.knn.query_knn) —
+    "approx" is ~5x faster at 100k+ cells with ~0.99 recall, the TPU analog
+    of the reference's Annoy/HNSW BNPARAM options.
     """
     n1, d = left.shape
     n2 = right.shape[0]
     dt = left.dtype
 
     # --- MNN detection ----------------------------------------------------
-    nn_l2r = query_knn(left, right, k2)             # (N1, k2) in right
-    nn_r2l = query_knn(right, left, k1)             # (N2, k1) in left
+    nn_l2r = query_knn(left, right, k2, method=knn_method)   # (N1, k2) in right
+    nn_r2l = query_knn(right, left, k1, method=knn_method)   # (N2, k1) in left
     l2r = nn_l2r.indices
     r2l = nn_r2l.indices
     gathered = r2l[l2r]                             # (N1, k2, k1)
@@ -104,7 +110,9 @@ def fused_merge_step(
     avg2, _, _ = averaged_correction(left_c, right_c)
 
     # kNN of every right cell among involved right cells: mask the rest out
-    idx, dist = query_knn(right_c, right_c, tricube_k, data_mask=involved)
+    idx, dist = query_knn(
+        right_c, right_c, tricube_k, data_mask=involved, method=knn_method
+    )
     middle = -(-tricube_k // 2) - 1
     bandwidth = jnp.maximum(dist[:, middle] * ndist, 1e-8)
     rel = jnp.minimum(dist / bandwidth[:, None], 1.0)

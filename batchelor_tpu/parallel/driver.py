@@ -48,6 +48,7 @@ def _center_shard(shard, stat_mask, v, dt):
 def _step_local(
     lshard, rshard, lvalid, rvalid, lres, rres, lextras, rextras,
     k1: int, k2: int, tricube_k: int, ndist: float, min_batch_skip: float,
+    knn_method: str = "exact",
 ):
     """Per-device body of one merge step (cf. fused.fused_merge_step)."""
     dt = lshard.dtype
@@ -71,8 +72,8 @@ def _step_local(
     flv = lax.all_gather(lvalid & lres, CELLS_AXIS, tiled=True)
     n2 = full_right.shape[0]
 
-    l2r, _ = query_knn(lshard, full_right, k2, data_mask=frv)
-    r2l, _ = query_knn(rshard, full_left, k1, data_mask=flv)
+    l2r, _ = query_knn(lshard, full_right, k2, data_mask=frv, method=knn_method)
+    r2l, _ = query_knn(rshard, full_left, k1, data_mask=flv, method=knn_method)
     r2l_full = lax.all_gather(r2l, CELLS_AXIS, tiled=True)
     my_ids = my * nsl + jnp.arange(nsl, dtype=l2r.dtype)
     mutual = jnp.any(r2l_full[l2r] == my_ids[:, None, None], axis=-1)
@@ -118,7 +119,8 @@ def _step_local(
 
     frv_all = lax.all_gather(rvalid, CELLS_AXIS, tiled=True)
     idx, dist = query_knn(
-        rshard_c, full_right_c, tricube_k, data_mask=involved & frv_all
+        rshard_c, full_right_c, tricube_k, data_mask=involved & frv_all,
+        method=knn_method,
     )
     middle = -(-tricube_k // 2) - 1
     bandwidth = jnp.maximum(dist[:, middle] * ndist, 1e-8)
@@ -254,6 +256,7 @@ def distributed_fast_mnn(
     min_batch_skip: float = 0.0,
     restrict: Optional[Sequence[Optional[np.ndarray]]] = None,
     collect_pairs: bool = True,
+    knn_method: str = "exact",
 ) -> MNNResult:
     """Full fastMNN correction on precomputed coordinates, cells sharded
     over ``mesh``. Matches reduced_mnn for the supported options
@@ -293,7 +296,7 @@ def distributed_fast_mnn(
             functools.partial(
                 _step_local,
                 k1=k1, k2=k2, tricube_k=tric_k, ndist=ndist,
-                min_batch_skip=min_batch_skip,
+                min_batch_skip=min_batch_skip, knn_method=knn_method,
             ),
             mesh=mesh,
             in_specs=(
