@@ -1,14 +1,19 @@
-"""Benchmark harness: fastMNN merge throughput on one chip.
-
-Runs BASELINE.json config 1 (two-batch fastMNN, 2 x 5k simulated cells,
-d=50, k=20) end to end — cosine norm, Gram-matrix multi-batch PCA, and the
-fused on-device merge step — and reports cells/sec/chip.
+"""Benchmark harness for batchelor_tpu on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Configs (BENCH_CONFIG env, default 1 — mirrors BASELINE.json "configs"):
+  1  two-batch fastMNN, 2 x 5k cells, 2000 genes, d=50, k=20 (headline)
+  2  classic mnnCorrect in gene space, 2k genes, 2 batches
+  3  multiBatchPCA + hierarchical 4-batch merge tree with restrict + prop.k
+  4  clusterMNN on an 8-batch atlas (BENCH_CELLS per batch)
+  5  large fused merge, 2 x BENCH_CELLS cells, approx kNN (scale probe)
+
 The reference publishes no numbers (BASELINE.md); vs_baseline is measured
-against the north-star anchor derived from BASELINE.json ("10M cells,
-16 batches, <2 min on v5e-64"): 10e6 cells / 120 s / 64 chips
-~= 1302 cells/sec/chip.
+against the north-star anchor from BASELINE.json ("10M cells, 16 batches,
+<2 min on v5e-64"): 10e6 / 120 s / 64 chips ~= 1302 cells/sec/chip.
+Timing materializes a device-side scalar (block_until_ready is unreliable
+over the axon tunnel, NOTES.md).
 """
 import json
 import os
@@ -19,15 +24,37 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+CONFIG = int(os.environ.get("BENCH_CONFIG", 1))
 N_PER_BATCH = int(os.environ.get("BENCH_CELLS", 5000))
 N_GENES = int(os.environ.get("BENCH_GENES", 2000))
 D = 50
 K = 20
 REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
-NORTH_STAR_CELLS_PER_SEC_PER_CHIP = 10e6 / 120.0 / 64.0
+NORTH_STAR = 10e6 / 120.0 / 64.0
 
 
-def main():
+def _simulate(rng, n, g, shift=0.0, n_types=4, noise=0.5):
+    means = rng.normal(size=(n_types, g)).astype(np.float32)
+    assign = rng.integers(0, n_types, n)
+    x = means[assign] + rng.normal(size=(n, g)).astype(np.float32) * noise
+    if shift:
+        x = x + (rng.normal(size=(1, g)) * shift).astype(np.float32)
+    return x.astype(np.float32), assign
+
+
+def _time(fn, *args):
+    import jax.numpy as jnp
+
+    _ = float(fn(*args))  # warmup/compile
+    best = float("inf")
+    for _i in range(REPEATS):
+        t0 = time.perf_counter()
+        _ = float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_fastmnn(n, genes, knn_method="exact"):
     import jax
     import jax.numpy as jnp
 
@@ -36,16 +63,8 @@ def main():
     from batchelor_tpu.ops.pca import multi_batch_pca
 
     rng = np.random.default_rng(42)
-    means = rng.normal(size=(4, N_GENES)).astype(np.float32)
-    assign1 = rng.integers(0, 4, N_PER_BATCH)
-    assign2 = rng.integers(0, 4, N_PER_BATCH)
-    b1 = (means[assign1] + rng.normal(size=(N_PER_BATCH, N_GENES)) * 0.5).astype(np.float32)
-    b2 = (
-        means[assign2]
-        + rng.normal(size=(N_PER_BATCH, N_GENES)) * 0.5
-        + rng.normal(size=(1, N_GENES)) * 0.8
-    ).astype(np.float32)
-
+    b1, _ = _simulate(rng, n, genes)
+    b2, _ = _simulate(rng, n, genes, shift=0.8)
     db1 = jax.device_put(jnp.asarray(b1))
     db2 = jax.device_put(jnp.asarray(b2))
 
@@ -54,30 +73,118 @@ def main():
         n1 = apply_cosine_norm(x1, l2_norms(x1))
         n2 = apply_cosine_norm(x2, l2_norms(x2))
         pca = multi_batch_pca([n1, n2], d=D, method="randomized")
-        out = fused_merge_step(pca.components[0], pca.components[1], K, K)
-        # scalar checksum: forces full execution with a tiny host transfer
-        # (block_until_ready is unreliable over the axon tunnel)
+        out = fused_merge_step(
+            pca.components[0], pca.components[1], K, K, knn_method=knn_method
+        )
         return jnp.sum(out.right) + out.n_pairs.astype(jnp.float32)
 
-    _ = float(pipeline(db1, db2))  # warmup/compile
+    elapsed = _time(pipeline, db1, db2)
+    return 2 * n / elapsed, f"cells/s/chip (2x{n} cells, {genes} genes, d={D}, k={K})"
 
-    times = []
-    for _ in range(REPEATS):
+
+def bench_classic():
+    import jax
+    import jax.numpy as jnp
+
+    from batchelor_tpu import mnn_correct
+
+    rng = np.random.default_rng(42)
+    n = min(N_PER_BATCH, 2000)  # quadratic kernels; keep the config honest
+    b1, _ = _simulate(rng, n, N_GENES)
+    b2, _ = _simulate(rng, n, N_GENES, shift=0.8)
+    m1 = jnp.asarray(np.log1p(np.abs(b1)))
+    m2 = jnp.asarray(np.log1p(np.abs(b2)))
+
+    def run():
+        res = mnn_correct([m1, m2], sigma=0.1, var_adj=True)
+        return float(jnp.sum(res.corrected))
+
+    _ = run()
+    best = float("inf")
+    for _i in range(max(REPEATS // 2, 1)):
         t0 = time.perf_counter()
-        _ = float(pipeline(db1, db2))
-        times.append(time.perf_counter() - t0)
+        _ = run()
+        best = min(best, time.perf_counter() - t0)
+    return 2 * n / best, f"cells/s/chip (classic mnnCorrect, 2x{n} cells, {N_GENES} genes)"
 
-    elapsed = min(times)
-    total_cells = 2 * N_PER_BATCH
-    cells_per_sec = total_cells / elapsed
+
+def bench_pca_tree():
+    import jax.numpy as jnp
+
+    from batchelor_tpu import fast_mnn
+
+    rng = np.random.default_rng(42)
+    n = N_PER_BATCH
+    mats = [jnp.asarray(_simulate(rng, n, N_GENES, shift=0.3 * i)[0]) for i in range(4)]
+    restrict = [np.arange(0, n, 2), None, None, np.arange(0, n, 3)]
+
+    def run():
+        res = fast_mnn(
+            mats, d=D, prop_k=0.005, merge_order=[[0, 1], [2, 3]],
+            restrict=restrict, svd_method="randomized",
+        )
+        return float(jnp.sum(res.corrected))
+
+    _ = run()
+    best = float("inf")
+    for _i in range(max(REPEATS // 2, 1)):
+        t0 = time.perf_counter()
+        _ = run()
+        best = min(best, time.perf_counter() - t0)
+    return 4 * n / best, f"cells/s/chip (4-batch tree merge + restrict + prop.k, 4x{n} cells)"
+
+
+def bench_cluster():
+    import jax.numpy as jnp
+
+    from batchelor_tpu import cluster_mnn
+
+    rng = np.random.default_rng(42)
+    n = N_PER_BATCH
+    mats, clusters = [], []
+    for i in range(8):
+        x, assign = _simulate(rng, n, min(N_GENES, 500), shift=0.3 * i)
+        mats.append(jnp.asarray(np.log1p(np.abs(x))))
+        clusters.append(assign)
+
+    def run():
+        res = cluster_mnn(mats, clusters=clusters)
+        return float(jnp.sum(res.corrected))
+
+    _ = run()
+    best = float("inf")
+    for _i in range(max(REPEATS // 2, 1)):
+        t0 = time.perf_counter()
+        _ = run()
+        best = min(best, time.perf_counter() - t0)
+    return 8 * n / best, f"cells/s/chip (clusterMNN, 8x{n} cells)"
+
+
+def main():
+    if CONFIG == 1:
+        value, unit = bench_fastmnn(N_PER_BATCH, N_GENES)
+        metric = "fastmnn_cells_per_sec_per_chip"
+    elif CONFIG == 2:
+        value, unit = bench_classic()
+        metric = "mnncorrect_cells_per_sec_per_chip"
+    elif CONFIG == 3:
+        value, unit = bench_pca_tree()
+        metric = "fastmnn_tree_cells_per_sec_per_chip"
+    elif CONFIG == 4:
+        value, unit = bench_cluster()
+        metric = "clustermnn_cells_per_sec_per_chip"
+    elif CONFIG == 5:
+        value, unit = bench_fastmnn(N_PER_BATCH, N_GENES, knn_method="approx")
+        metric = "fastmnn_approx_cells_per_sec_per_chip"
+    else:
+        raise SystemExit(f"unknown BENCH_CONFIG={CONFIG}")
     print(
         json.dumps(
             {
-                "metric": "fastmnn_cells_per_sec_per_chip",
-                "value": round(cells_per_sec, 1),
-                "unit": "cells/s/chip (2x%dk cells, %d genes, d=%d, k=%d)"
-                % (N_PER_BATCH // 1000, N_GENES, D, K),
-                "vs_baseline": round(cells_per_sec / NORTH_STAR_CELLS_PER_SEC_PER_CHIP, 3),
+                "metric": metric,
+                "value": round(value, 1),
+                "unit": unit,
+                "vs_baseline": round(value / NORTH_STAR, 3),
             }
         )
     )
