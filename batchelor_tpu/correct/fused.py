@@ -73,12 +73,21 @@ def fused_merge_step(
 
     # --- averaged correction per involved right cell ----------------------
     def averaged_correction(ld, rd):
-        diffs = ld[:, None, :] - rd[l2r]            # (N1, k2, d)
-        w = mutual.astype(dt)
-        seg = jnp.where(mutual, l2r, n2).reshape(-1)
-        flat = (diffs * w[:, :, None]).reshape(-1, d)
-        sums = jax.ops.segment_sum(flat, seg, num_segments=n2 + 1)[:n2]
-        counts = jax.ops.segment_sum(w.reshape(-1), seg, num_segments=n2 + 1)[:n2]
+        # per segment j: sum over pairs of (left_i - right_j)
+        #   = (sum of paired left rows) - count_j * right_j
+        # accumulated one neighbour position at a time — no (N1, k2, d)
+        # intermediate (which OOMs at 10^6-cell scale).
+        lsums = jnp.zeros((n2 + 1, d), dt)
+        counts_f = jnp.zeros((n2 + 1,), dt)
+        for p in range(k2):
+            seg = jnp.where(mutual[:, p], l2r[:, p], n2)
+            w = mutual[:, p].astype(dt)
+            lsums = lsums + jax.ops.segment_sum(
+                ld * w[:, None], seg, num_segments=n2 + 1
+            )
+            counts_f = counts_f + jax.ops.segment_sum(w, seg, num_segments=n2 + 1)
+        counts = counts_f[:n2]
+        sums = lsums[:n2] - rd * counts[:, None]
         involved = counts > 0
         avg = sums / jnp.maximum(counts, 1.0)[:, None]
         return avg, counts, involved

@@ -33,6 +33,34 @@ shard_map = jax.shard_map
 __all__ = ["distributed_fast_mnn"]
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
+                 min_batch_skip: float, knn_method: str):
+    """One compiled step per (mesh, k, ...) combo: reusing the jitted
+    callable lets XLA's jit cache hit across merge steps with equal
+    shapes (a fresh closure per step would never cache)."""
+    spec_data = P(CELLS_AXIS, None)
+    spec_mask = P(CELLS_AXIS)
+    fn = shard_map(
+        functools.partial(
+            _step_local,
+            k1=k1, k2=k2, tricube_k=tricube_k, ndist=ndist,
+            min_batch_skip=min_batch_skip, knn_method=knn_method,
+        ),
+        mesh=mesh,
+        in_specs=(
+            spec_data, spec_data, spec_mask, spec_mask, spec_mask, spec_mask,
+            P(), P(),
+        ),
+        out_specs=(
+            spec_data, spec_data, P(), P(), P(),
+            P(CELLS_AXIS, None), P(CELLS_AXIS, None),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def _psum(x):
     return lax.psum(x, CELLS_AXIS)
 
@@ -56,15 +84,21 @@ def _step_local(
     my = lax.axis_index(CELLS_AXIS)
     nsl = lshard.shape[0]
 
-    # orthogonalization replay (reference R/fastMNN.R:472-474)
+    # orthogonalization replay (reference R/fastMNN.R:472-474).
+    # extras are padded to a fixed count with zero rows so the compiled
+    # step is reusable across merge steps; zero rows are skipped.
     for i in range(lextras.shape[0]):
         vec = lextras[i]
-        v = vec / jnp.sqrt(jnp.sum(jnp.square(vec)))
-        rshard, _ = _center_shard(rshard, rres & rvalid, v, dt)
+        nrm = jnp.sum(jnp.square(vec))
+        v = vec / jnp.sqrt(jnp.where(nrm > 0, nrm, 1.0))
+        cand, _ = _center_shard(rshard, rres & rvalid, v, dt)
+        rshard = jnp.where(nrm > 0, cand, rshard)
     for i in range(rextras.shape[0]):
         vec = rextras[i]
-        v = vec / jnp.sqrt(jnp.sum(jnp.square(vec)))
-        lshard, _ = _center_shard(lshard, lres & lvalid, v, dt)
+        nrm = jnp.sum(jnp.square(vec))
+        v = vec / jnp.sqrt(jnp.where(nrm > 0, nrm, 1.0))
+        cand, _ = _center_shard(lshard, lres & lvalid, v, dt)
+        lshard = jnp.where(nrm > 0, cand, lshard)
 
     full_right = lax.all_gather(rshard, CELLS_AXIS, tiled=True)
     full_left = lax.all_gather(lshard, CELLS_AXIS, tiled=True)
@@ -81,17 +115,22 @@ def _step_local(
     n_pairs = _psum(jnp.sum(mutual))
 
     def averaged(l_rows, right_full):
-        diffs = l_rows[:, None, :] - right_full[l2r]
-        w = mutual.astype(dt)
-        seg = jnp.where(mutual, l2r, n2).reshape(-1)
-        sums = _psum(
-            jax.ops.segment_sum(
-                (diffs * w[:, :, None]).reshape(-1, d), seg, num_segments=n2 + 1
-            )[:n2]
-        )
-        counts = _psum(
-            jax.ops.segment_sum(w.reshape(-1), seg, num_segments=n2 + 1)[:n2]
-        )
+        # sum over pairs of (left_i - right_j) per segment j equals
+        # (sum of paired left rows) - count_j * right_j; accumulate one
+        # neighbour position at a time so no (N1, k2, d) tensor ever
+        # materializes (it OOMs at the 10^6-cell scale).
+        lsums = jnp.zeros((n2 + 1, d), dt)
+        counts = jnp.zeros((n2 + 1,), dt)
+        for p in range(l2r.shape[1]):
+            seg = jnp.where(mutual[:, p], l2r[:, p], n2)
+            w = mutual[:, p].astype(dt)
+            lsums = lsums + jax.ops.segment_sum(
+                l_rows * w[:, None], seg, num_segments=n2 + 1
+            )
+            counts = counts + jax.ops.segment_sum(w, seg, num_segments=n2 + 1)
+        lsums = _psum(lsums[:n2])
+        counts = _psum(counts[:n2])
+        sums = lsums - right_full * counts[:, None]
         return sums / jnp.maximum(counts, 1.0)[:, None], counts > 0
 
     avg, involved = averaged(lshard, full_right)
@@ -217,7 +256,23 @@ def _tree_update(tree, path, node):
     return tree
 
 
-def _concat_dev(mesh, left: _DevBatch, right: _DevBatch, lc, rc, overall, skipped):
+def _bucket_size(n: int, ndev: int, buckets: bool) -> int:
+    """Round up to a device multiple; with ``buckets``, to 1/2/5 x 10^k
+    sizes so merge steps reuse compiled shapes."""
+    base = -(-n // ndev) * ndev
+    if not buckets:
+        return base
+    target = 1
+    while target < base:
+        for m in (1, 2, 5):
+            if m * target >= base:
+                return -(-m * target // ndev) * ndev
+        target *= 10
+    return base
+
+
+def _concat_dev(mesh, left: _DevBatch, right: _DevBatch, lc, rc, overall, skipped,
+                buckets: bool = False):
     """Merge two sharded padded blocks (device-side concat + re-shard)."""
     sh = cells_sharding(mesh)
     msk = NamedSharding(mesh, P(CELLS_AXIS))
@@ -225,7 +280,7 @@ def _concat_dev(mesh, left: _DevBatch, right: _DevBatch, lc, rc, overall, skippe
     valid = jnp.concatenate([left.valid, right.valid])
     res = jnp.concatenate([left.res, right.res])
     ndev = mesh.devices.size
-    pad_to = -(-data.shape[0] // ndev) * ndev
+    pad_to = _bucket_size(data.shape[0], ndev, buckets)
     if pad_to != data.shape[0]:
         extra = pad_to - data.shape[0]
         data = jnp.concatenate([data, jnp.zeros((extra, data.shape[1]), data.dtype)])
@@ -257,6 +312,7 @@ def distributed_fast_mnn(
     restrict: Optional[Sequence[Optional[np.ndarray]]] = None,
     collect_pairs: bool = True,
     knn_method: str = "exact",
+    pad_buckets: bool = False,
 ) -> MNNResult:
     """Full fastMNN correction on precomputed coordinates, cells sharded
     over ``mesh``. Matches reduced_mnn for the supported options
@@ -292,26 +348,18 @@ def distributed_fast_mnn(
         k2 = choose_k(k, prop_k, right.n)
         tric_k = min(choose_k(k, prop_k, right.n), right.n)
 
-        step = shard_map(
-            functools.partial(
-                _step_local,
-                k1=k1, k2=k2, tricube_k=tric_k, ndist=ndist,
-                min_batch_skip=min_batch_skip, knn_method=knn_method,
-            ),
-            mesh=mesh,
-            in_specs=(
-                spec_data, spec_data, spec_mask, spec_mask, spec_mask, spec_mask,
-                P(), P(),
-            ),
-            out_specs=(
-                spec_data, spec_data, P(), P(), P(),
-                P(CELLS_AXIS, None), P(CELLS_AXIS, None),
-            ),
-            check_vma=False,
+        step = _jitted_step(
+            mesh, k1, k2, tric_k, ndist, min_batch_skip, knn_method
         )
-        lex = jnp.stack(left.extras) if left.extras else jnp.zeros((0, d), dt)
-        rex = jnp.stack(right.extras) if right.extras else jnp.zeros((0, d), dt)
-        lc, rc, overall, mag, n_pairs, mutual, l2r = jax.jit(step)(
+        # pad replay vectors to a fixed count (nb-1) for compile reuse
+        emax = nb - 1
+        lex = jnp.zeros((emax, d), dt)
+        if left.extras:
+            lex = lex.at[: len(left.extras)].set(jnp.stack(left.extras))
+        rex = jnp.zeros((emax, d), dt)
+        if right.extras:
+            rex = rex.at[: len(right.extras)].set(jnp.stack(right.extras))
+        lc, rc, overall, mag, n_pairs, mutual, l2r = step(
             left.data, right.data, left.valid, right.valid, left.res, right.res,
             lex, rex,
         )
@@ -343,7 +391,9 @@ def distributed_fast_mnn(
         )
         step_meta.append((list(left.index), list(right.index)))
 
-        merged = _concat_dev(mesh, left, right, lc, rc, overall, skipped)
+        merged = _concat_dev(
+            mesh, left, right, lc, rc, overall, skipped, buckets=pad_buckets
+        )
         tree = _tree_update(tree, path, merged)
         if not isinstance(tree, list):
             final = tree
