@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.knn import query_knn
+from ..ops.mutual_nn import membership_rows
 
 __all__ = ["fused_merge_step", "FusedMergeOutput"]
 
@@ -66,9 +67,8 @@ def fused_merge_step(
     nn_r2l = query_knn(right, left, k1, method=knn_method)   # (N2, k1) in left
     l2r = nn_l2r.indices
     r2l = nn_r2l.indices
-    gathered = r2l[l2r]                             # (N1, k2, k1)
-    ids = jnp.arange(n1, dtype=l2r.dtype)[:, None]
-    mutual = jnp.any(gathered == ids[:, :, None], axis=-1)   # (N1, k2)
+    ids = jnp.arange(n1, dtype=l2r.dtype)
+    mutual = membership_rows(l2r, r2l, ids)         # (N1, k2), chunked
     n_pairs = jnp.sum(mutual)
 
     # --- averaged correction per involved right cell ----------------------

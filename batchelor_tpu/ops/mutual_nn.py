@@ -66,6 +66,28 @@ def _membership(l2r: jnp.ndarray, r2l: jnp.ndarray, chunk: int):
     return mask
 
 
+def membership_rows(l2r: jnp.ndarray, r2l: jnp.ndarray, row_ids: jnp.ndarray,
+                    chunk: int = 1 << 16) -> jnp.ndarray:
+    """mask[i, p] = row_ids[i] in r2l[l2r[i, p]], computed in row blocks so
+    the (N1, k2, k1) gather never materializes at once (jit-traceable;
+    used inside the fused/distributed merge steps at large N)."""
+    nsl, k2 = l2r.shape
+    chunk = min(chunk, max(nsl, 1))
+    nblk = -(-nsl // chunk)
+    pad = nblk * chunk - nsl
+    l2r_p = jnp.pad(l2r, ((0, pad), (0, 0)))
+    ids_p = jnp.pad(row_ids, (0, pad), constant_values=-1)
+
+    def blk(args):
+        rows, ids = args                      # (C, k2), (C,)
+        return jnp.any(r2l[rows] == ids[:, None, None], axis=-1)
+
+    mask = jax.lax.map(
+        blk, (l2r_p.reshape(nblk, chunk, k2), ids_p.reshape(nblk, chunk))
+    ).reshape(-1, k2)[:nsl]
+    return mask
+
+
 def mutual_nn_masks(left, right, k1: int, k2: int):
     """Device-side MNN detection.
 

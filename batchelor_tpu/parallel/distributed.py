@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 shard_map = jax.shard_map
 
 from ..ops.knn import query_knn
+from ..ops.mutual_nn import membership_rows
 from .mesh import CELLS_AXIS, cells_sharding, make_cells_mesh, pad_to_multiple
 
 __all__ = ["distributed_merge_step", "distributed_multi_batch_pca", "DistributedMergeOutput"]
@@ -65,7 +66,7 @@ def _merge_step_local(
     r2l_full = lax.all_gather(r2l, CELLS_AXIS, tiled=True)            # (N2, k1)
 
     my_ids = my * n_shard_l + jnp.arange(n_shard_l, dtype=l2r.dtype)
-    mutual = jnp.any(r2l_full[l2r] == my_ids[:, None, None], axis=-1)
+    mutual = membership_rows(l2r, r2l_full, my_ids)
     mutual = mutual & lmask[:, None]
     n_pairs = _psum(jnp.sum(mutual))
 

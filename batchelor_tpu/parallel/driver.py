@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..correct.fast_mnn import MergeStepInfo, MNNResult
 from ..ops.knn import query_knn
-from ..ops.mutual_nn import choose_k
+from ..ops.mutual_nn import choose_k, membership_rows
 from ..utils.batching import reindex_pairings, restore_original_order
 from ..utils.trees import binarize_tree
 from .mesh import CELLS_AXIS, cells_sharding, pad_to_multiple
@@ -110,7 +110,7 @@ def _step_local(
     r2l, _ = query_knn(rshard, full_left, k1, data_mask=flv, method=knn_method)
     r2l_full = lax.all_gather(r2l, CELLS_AXIS, tiled=True)
     my_ids = my * nsl + jnp.arange(nsl, dtype=l2r.dtype)
-    mutual = jnp.any(r2l_full[l2r] == my_ids[:, None, None], axis=-1)
+    mutual = membership_rows(l2r, r2l_full, my_ids)
     mutual = mutual & (lres & lvalid)[:, None]
     n_pairs = _psum(jnp.sum(mutual))
 
