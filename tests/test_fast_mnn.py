@@ -251,3 +251,36 @@ def test_fast_mnn_names(rng):
     assert res.merge_info[0].right == ["second"]
     with pytest.raises(ValueError):
         fast_mnn([jnp.asarray(b1), jnp.asarray(b2)], d=10, batch_names=["x", "x"])
+
+
+def test_fast_mnn_d_none(rng):
+    # d=None skips the PCA; correction runs on centered input
+    # (reference R/fastMNN.R:163-164, multiBatchPCA d=NA mode)
+    b1 = rng.normal(size=(60, 15))
+    b2 = rng.normal(size=(70, 15)) + 1
+    res = fast_mnn([jnp.asarray(b1), jnp.asarray(b2)], d=None, cos_norm=False)
+    assert res.corrected.shape == (130, 15)
+    assert np.allclose(np.asarray(res.rotation), np.eye(15))
+    # equals reduced_mnn on the grand-mean-centered inputs
+    centers = (b1.mean(0) + b2.mean(0)) / 2
+    ref = reduced_mnn([jnp.asarray(b1 - centers), jnp.asarray(b2 - centers)])
+    assert np.allclose(np.asarray(res.corrected), np.asarray(ref.corrected), atol=1e-8)
+
+
+def test_fast_mnn_get_variance(rng):
+    b1 = rng.normal(size=(50, 20))
+    b2 = rng.normal(size=(50, 20)) + 1
+    res = fast_mnn([jnp.asarray(b1), jnp.asarray(b2)], d=10, get_variance=True)
+    assert res.var_explained.shape == (10,)
+    assert res.var_total > 0
+    assert np.sum(res.var_explained) <= res.var_total * (1 + 1e-8)
+
+
+def test_fast_mnn_prop_k(rng):
+    # prop.k adapts k to batch size at each merge (reference R/MNN_tree.R:140-146)
+    b1 = rng.normal(size=(100, 25))
+    b2 = rng.normal(size=(300, 25)) + 1
+    res = fast_mnn([jnp.asarray(b1), jnp.asarray(b2)], d=10, k=5, prop_k=0.1)
+    # k in batch2 becomes 30 (>5): more pairs than with plain k=5
+    res_k5 = fast_mnn([jnp.asarray(b1), jnp.asarray(b2)], d=10, k=5)
+    assert res.merge_info[0].pairs.shape[0] > res_k5.merge_info[0].pairs.shape[0]
