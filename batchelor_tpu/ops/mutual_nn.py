@@ -88,7 +88,7 @@ def membership_rows(l2r: jnp.ndarray, r2l: jnp.ndarray, row_ids: jnp.ndarray,
     return mask
 
 
-def mutual_nn_masks(left, right, k1: int, k2: int):
+def mutual_nn_masks(left, right, k1: int, k2: int, method: str = "exact"):
     """Device-side MNN detection.
 
     Returns (mutual_mask (N1, k2) bool, left_to_right_indices (N1, k2),
@@ -98,17 +98,17 @@ def mutual_nn_masks(left, right, k1: int, k2: int):
     """
     left = jnp.asarray(left)
     right = jnp.asarray(right)
-    nn_l2r = query_knn(left, right, k2)    # each left cell's k2 NNs in right
-    nn_r2l = query_knn(right, left, k1)    # each right cell's k1 NNs in left
+    nn_l2r = query_knn(left, right, k2, method=method)  # left's k2 NNs in right
+    nn_r2l = query_knn(right, left, k1, method=method)  # right's k1 NNs in left
     n1 = left.shape[0]
     chunk = max(1, min(n1, (1 << 22) // max(1, k1 * k2)))
     mask = _membership(nn_l2r.indices, nn_r2l.indices, chunk)
     return mask, nn_l2r.indices, nn_l2r.distances
 
 
-def find_mutual_nn(left, right, k1: int, k2: int) -> MNNPairs:
+def find_mutual_nn(left, right, k1: int, k2: int, method: str = "exact") -> MNNPairs:
     """Materialized MNN pair lists (host numpy), in the reference's order."""
-    mask, l2r, _ = mutual_nn_masks(left, right, k1, k2)
+    mask, l2r, _ = mutual_nn_masks(left, right, k1, k2, method=method)
     mask = np.asarray(mask)
     l2r = np.asarray(l2r)
     rows, cols = np.nonzero(mask)          # row-major: left cell, then rank
@@ -122,6 +122,7 @@ def restricted_mnn(
     right_restrict: Optional[np.ndarray],
     k: int,
     prop_k: Optional[float] = None,
+    method: str = "exact",
 ) -> MNNPairs:
     """MNN search on restricted subsets, mapped back to full-batch indices.
 
@@ -130,7 +131,7 @@ def restricted_mnn(
     rd = right_data if right_restrict is None else right_data[np.asarray(right_restrict)]
     k1 = choose_k(k, prop_k, ld.shape[0])
     k2 = choose_k(k, prop_k, rd.shape[0])
-    pairs = find_mutual_nn(ld, rd, k1, k2)
+    pairs = find_mutual_nn(ld, rd, k1, k2, method=method)
     first, second = pairs.first, pairs.second
     if left_restrict is not None:
         first = np.asarray(left_restrict)[first]
