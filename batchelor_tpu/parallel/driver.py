@@ -273,19 +273,22 @@ def _bucket_size(n: int, ndev: int, buckets: bool) -> int:
 
 def _concat_dev(mesh, left: _DevBatch, right: _DevBatch, lc, rc, overall, skipped,
                 buckets: bool = False):
-    """Merge two sharded padded blocks (device-side concat + re-shard)."""
+    """Merge two sharded padded blocks: compact each side to its valid
+    prefix, concat, re-pad to the (bucketed) target. Compacting prevents
+    padding from cascading across merges (invariant: valid rows are always
+    the leading [0, n) prefix)."""
     sh = cells_sharding(mesh)
     msk = NamedSharding(mesh, P(CELLS_AXIS))
-    data = jnp.concatenate([lc, rc], axis=0)
-    valid = jnp.concatenate([left.valid, right.valid])
-    res = jnp.concatenate([left.res, right.res])
+    n = left.n + right.n
+    data = jnp.concatenate([lc[: left.n], rc[: right.n]], axis=0)
+    res = jnp.concatenate([left.res[: left.n], right.res[: right.n]])
     ndev = mesh.devices.size
-    pad_to = _bucket_size(data.shape[0], ndev, buckets)
-    if pad_to != data.shape[0]:
-        extra = pad_to - data.shape[0]
+    pad_to = _bucket_size(n, ndev, buckets)
+    if pad_to != n:
+        extra = pad_to - n
         data = jnp.concatenate([data, jnp.zeros((extra, data.shape[1]), data.dtype)])
-        valid = jnp.concatenate([valid, jnp.zeros((extra,), bool)])
         res = jnp.concatenate([res, jnp.zeros((extra,), bool)])
+    valid = jnp.arange(pad_to) < n
     extras = list(left.extras) + list(right.extras)
     if not skipped:
         extras = extras + [overall]
