@@ -100,6 +100,7 @@ def mnn_correct(
     merge_order=None,
     auto_merge: bool = False,
     batch_names: Optional[Sequence[str]] = None,
+    knn_method: str = "exact",
 ) -> MNNResult:
     """Classic MNN correction (reference mnnCorrect, R/mnnCorrect.R:125-168).
 
@@ -168,7 +169,8 @@ def mnn_correct(
         right_out = right.extras[0]
 
         pairs = restricted_mnn(
-            left.data, left.restrict, right.data, right.restrict, k=k, prop_k=prop_k
+            left.data, left.restrict, right.data, right.restrict,
+            k=k, prop_k=prop_k, method=knn_method,
         )
         if pairs.first.shape[0] == 0:
             raise ValueError(f"no MNN pairs found at merge step {mdx}")

@@ -50,6 +50,7 @@ class FastMNNParams(BatchelorParams):
     auto_merge: bool = False
     min_batch_skip: Optional[float] = 0.0
     svd_method: str = "gram"
+    knn_method: str = "exact"
 
 
 @dataclass
@@ -63,6 +64,7 @@ class ClassicMNNParams(BatchelorParams):
     var_adj: bool = True
     merge_order: Any = None
     auto_merge: bool = False
+    knn_method: str = "exact"
 
 
 @dataclass

@@ -132,6 +132,7 @@ def _fast_mnn_core(
     min_batch_skip: Optional[float] = 0.0,
     batch_names: Optional[Sequence[str]] = None,
     checkpoint_dir: Optional[str] = None,
+    knn_method: str = "exact",
 ):
     checkpointer = None
     if checkpoint_dir is not None:
@@ -214,7 +215,8 @@ def _fast_mnn_core(
 
         with trace_span("fastmnn/mnn_search", step=mdx):
             pairs = restricted_mnn(
-                left_data, left.restrict, right_data, right.restrict, k=k, prop_k=prop_k
+                left_data, left.restrict, right_data, right.restrict,
+                k=k, prop_k=prop_k, method=knn_method,
             )
         if pairs.first.shape[0] == 0:
             raise ValueError(
@@ -382,6 +384,7 @@ def reduced_mnn(
     min_batch_skip: Optional[float] = 0.0,
     batch_names: Optional[Sequence[str]] = None,
     checkpoint_dir: Optional[str] = None,
+    knn_method: str = "exact",
 ) -> MNNResult:
     """MNN correction on precomputed low-dimensional coordinates.
 
@@ -403,6 +406,7 @@ def reduced_mnn(
             min_batch_skip=min_batch_skip,
             batch_names=batch_names,
             checkpoint_dir=checkpoint_dir,
+            knn_method=knn_method,
         )
 
     x = jnp.asarray(batches_or_single)
@@ -421,6 +425,7 @@ def reduced_mnn(
         min_batch_skip=min_batch_skip,
         batch_names=names,
         checkpoint_dir=checkpoint_dir,
+        knn_method=knn_method,
     )
     reo = divided.reorder
     out.corrected = out.corrected[jnp.asarray(reo)]
@@ -451,6 +456,7 @@ def fast_mnn(
     svd_method: str = "gram",
     batch_names: Optional[Sequence[str]] = None,
     checkpoint_dir: Optional[str] = None,
+    knn_method: str = "exact",
 ) -> MNNResult:
     """Fast MNN batch correction (reference fastMNN, R/fastMNN.R:283-331).
 
@@ -503,6 +509,7 @@ def fast_mnn(
         min_batch_skip=min_batch_skip,
         batch_names=batch_names,
         checkpoint_dir=checkpoint_dir,
+        knn_method=knn_method,
     )
     if single:
         reo = divided.reorder
