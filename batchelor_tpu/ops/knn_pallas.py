@@ -136,7 +136,12 @@ def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False):
     a = a_t.T[:nq]
 
     kc = min(k, m.shape[1])
-    _, top_chunks = lax.top_k(m, kc)                # (nq, kc)
+    if not interpret and kc <= 64:
+        from .topk_pallas import topk_rows
+
+        _, top_chunks = topk_rows(m, kc)            # (nq, kc) 10x lax.top_k
+    else:
+        _, top_chunks = lax.top_k(m, kc)            # (nq, kc)
 
     qn = jnp.sum(jnp.square(query.astype(acc)), axis=1)
 
