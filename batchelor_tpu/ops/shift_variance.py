@@ -27,6 +27,9 @@ import numpy as np
 __all__ = ["adjust_shift_variance"]
 
 
+_CHUNK = 1024  # query cells per block (memory ~ chunk x (N1 + N2))
+
+
 @jax.jit
 def _adjust(
     data1: jnp.ndarray,       # (N1, G)
@@ -46,56 +49,79 @@ def _adjust(
 
     sq2 = jnp.sum(jnp.square(d2), axis=1)
     sq1 = jnp.sum(jnp.square(d1), axis=1)
-
-    P2 = grads @ d2.T                                          # P2[c,s] = g_c . x_s
-    curproj = jnp.diagonal(P2)                                 # (N2,)
-    G22 = d2 @ d2.T
-    # squared distance of x_s to the line through x_c along g_c
-    diff_par = curproj[:, None] - P2                           # g_c.(x_c - x_s)
-    dist2 = sq2[:, None] + sq2[None, :] - 2.0 * G22 - jnp.square(diff_par)
-    lp2 = -jnp.maximum(dist2, 0.0) / sigma2
+    n1 = d1.shape[0]
     n2 = d2.shape[0]
-    eye = jnp.eye(n2, dtype=bool)
-    lp2 = jnp.where(eye, 0.0, lp2)                             # self: log-prob 0
-    add_mask = (P2 <= curproj[:, None]) | eye
     neg_inf = jnp.asarray(-jnp.inf, acc)
-    lp2_all = jnp.where(mask2[None, :], lp2, neg_inf)
-    lp2_add = jnp.where(add_mask, lp2_all, neg_inf)
-    num = jax.scipy.special.logsumexp(lp2_add, axis=1)
-    # empty numerator (cell outside restrict2 with no admissible same-batch
-    # cells): the C++ leaves the accumulator at log-prob 0
-    num = jnp.where(jnp.isneginf(num), 0.0, num)
-    prob2 = num - jax.scipy.special.logsumexp(lp2_all, axis=1)
-
-    P1 = grads @ d1.T                                          # (N2, N1)
-    C12 = d2 @ d1.T
-    diff_par1 = curproj[:, None] - P1
-    dist1 = sq2[:, None] + sq1[None, :] - 2.0 * C12 - jnp.square(diff_par1)
-    lw1 = jnp.where(mask1[None, :], -jnp.maximum(dist1, 0.0) / sigma2, neg_inf)
-    total1 = jax.scipy.special.logsumexp(lw1, axis=1)
-    target = prob2 + total1
-
-    # per-row sort by projection; excluded cells get +inf projection so they
-    # sort last with -inf weight (never reached before a valid crossing).
-    proj_sort_key = jnp.where(mask1[None, :], P1, jnp.inf)
-    order = jnp.argsort(proj_sort_key, axis=1)
-    proj_sorted = jnp.take_along_axis(proj_sort_key, order, axis=1)
-    lw_sorted = jnp.take_along_axis(lw1, order, axis=1)
-    cum = jax.lax.associative_scan(jnp.logaddexp, lw_sorted, axis=1)
-    crossed = cum >= target[:, None]
-    any_crossed = jnp.any(crossed, axis=1)
-    first = jnp.argmax(crossed, axis=1)
     n_valid = jnp.sum(mask1).astype(jnp.int32)
-    last_valid = jnp.take_along_axis(
-        proj_sorted, jnp.full((n2, 1), n_valid - 1, jnp.int32), axis=1
-    )[:, 0]
-    ref_quan = jnp.where(
-        any_crossed,
-        jnp.take_along_axis(proj_sorted, first[:, None], axis=1)[:, 0],
-        last_valid,
-    )
+    col2 = jnp.arange(n2)
 
-    scaling = (ref_quan - curproj) / l2
+    def block(args):
+        """One chunk of query cells c: all matrices are (C, N1/N2) — the
+        kernel is inherently O(N^2 G) (the reference's non-scaling part,
+        src/adjust_shift_variance.cpp:51-161) but memory stays O(chunk N)."""
+        gch, d2ch, sq2ch, l2ch, rows = args            # (C, G) ... (C,)
+        P2 = gch @ d2.T                                # (C, N2)
+        curproj = jnp.sum(gch * d2ch, axis=1)          # (C,)
+        G22 = d2ch @ d2.T
+        diff_par = curproj[:, None] - P2
+        dist2 = sq2ch[:, None] + sq2[None, :] - 2.0 * G22 - jnp.square(diff_par)
+        lp2 = -jnp.maximum(dist2, 0.0) / sigma2
+        eye = rows[:, None] == col2[None, :]
+        lp2 = jnp.where(eye, 0.0, lp2)                 # self: log-prob 0
+        add_mask = (P2 <= curproj[:, None]) | eye
+        lp2_all = jnp.where(mask2[None, :], lp2, neg_inf)
+        lp2_add = jnp.where(add_mask, lp2_all, neg_inf)
+        num = jax.scipy.special.logsumexp(lp2_add, axis=1)
+        # empty numerator (cell outside restrict2 with no admissible cells):
+        # the C++ leaves the accumulator at log-prob 0
+        num = jnp.where(jnp.isneginf(num), 0.0, num)
+        prob2 = num - jax.scipy.special.logsumexp(lp2_all, axis=1)
+
+        P1 = gch @ d1.T                                # (C, N1)
+        C12 = d2ch @ d1.T
+        diff_par1 = curproj[:, None] - P1
+        dist1 = sq2ch[:, None] + sq1[None, :] - 2.0 * C12 - jnp.square(diff_par1)
+        lw1 = jnp.where(mask1[None, :], -jnp.maximum(dist1, 0.0) / sigma2, neg_inf)
+        total1 = jax.scipy.special.logsumexp(lw1, axis=1)
+        target = prob2 + total1
+
+        proj_sort_key = jnp.where(mask1[None, :], P1, jnp.inf)
+        order = jnp.argsort(proj_sort_key, axis=1)
+        proj_sorted = jnp.take_along_axis(proj_sort_key, order, axis=1)
+        lw_sorted = jnp.take_along_axis(lw1, order, axis=1)
+        cum = jax.lax.associative_scan(jnp.logaddexp, lw_sorted, axis=1)
+        crossed = cum >= target[:, None]
+        any_crossed = jnp.any(crossed, axis=1)
+        first = jnp.argmax(crossed, axis=1)
+        last_valid = jnp.take_along_axis(
+            proj_sorted, jnp.full((rows.shape[0], 1), n_valid - 1, jnp.int32), axis=1
+        )[:, 0]
+        ref_quan = jnp.where(
+            any_crossed,
+            jnp.take_along_axis(proj_sorted, first[:, None], axis=1)[:, 0],
+            last_valid,
+        )
+        return (ref_quan - curproj) / l2ch
+
+    chunk = min(_CHUNK, n2)
+    npad = -(-n2 // chunk) * chunk
+    pad = npad - n2
+
+    def padc(x, value=0.0):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=value)
+
+    nblk = npad // chunk
+    scaling = jax.lax.map(
+        block,
+        (
+            padc(grads).reshape(nblk, chunk, -1),
+            padc(d2).reshape(nblk, chunk, -1),
+            padc(sq2).reshape(nblk, chunk),
+            padc(l2, value=1.0).reshape(nblk, chunk),
+            padc(col2, value=-1).reshape(nblk, chunk),
+        ),
+    ).reshape(-1)[:n2]
     return scaling
 
 
