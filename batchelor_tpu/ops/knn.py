@@ -190,6 +190,8 @@ def query_knn(
       * "exact": tiled XLA scores + top_k (default; index-stable ties);
       * "chunked": Pallas fused chunk-max kernel + exact rescore
         (exact up to tie-breaking; large-N path, knn_pallas.py);
+      * "bf16": "chunked" with bf16 candidate selection (single-pass MXU
+        matmul, ~recall 0.999+; distances exact fp32);
       * "approx": lax.approx_max_k, recall ~0.99 (the Annoy/HNSW analog).
     ``k`` must not exceed the number of valid data rows; ``n_data_valid``
     or ``data_mask`` exclude padded/invalid data rows.
@@ -198,12 +200,12 @@ def query_knn(
         raise ValueError("k must be positive")
     query = jnp.asarray(query)
     data = jnp.asarray(data)
-    if method == "chunked":
+    if method in ("chunked", "bf16"):
         from .knn_pallas import query_knn_tpu
 
         return query_knn_tpu(
             query, data, k, n_data_valid=n_data_valid, data_mask=data_mask,
-            squared=squared,
+            squared=squared, bf16=(method == "bf16"),
         )
     nd = data.shape[0]
     if data_mask is not None:

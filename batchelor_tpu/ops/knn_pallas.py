@@ -7,16 +7,17 @@ two-pass exact algorithm:
 
 Pass 1 (Pallas kernel, MXU-bound): for each (query_tile, data_tile) block,
   compute scores s = 2 q.x - ||x||^2 on the MXU **in VMEM** and reduce each
-  128-column chunk to its (max, argmax). Only the (N_q x N_d/128) chunk-max
-  matrix ever reaches HBM — 128x less traffic, so the kernel runs at the
-  speed of the matmul.
+  128-column chunk to its max. Only the (N_q x N_d/128) chunk-max matrix
+  ever reaches HBM — 128x less traffic, so the kernel runs at the speed of
+  the matmul.
 
 Pass 2 (XLA): top-k over chunk-maxes picks k chunks per query row. The k-th
   largest chunk-max is a *lower bound* on the k-th best score (the k chunk
   maxima are themselves k distinct scores), and any score >= that bound
   lives in a chunk whose max also clears it — so the top-k chunks contain
-  every true top-k neighbour. Gather those chunks (contiguous 128-row
-  blocks, HBM-friendly) and rescore exactly.
+  every true top-k neighbour. Gather those chunks as whole (128, d) blocks
+  (32 KB contiguous slices — ~14x faster than gathering individual rows on
+  TPU) and rescore exactly on the MXU.
 
 Exact up to tie-breaking: equal-score neighbours may resolve to different
 indices than the reference XLA path (which is index-stable).
@@ -41,47 +42,51 @@ __all__ = ["chunk_max_scores", "query_knn_tpu"]
 CHUNK = 128          # data rows per chunk (= lane width)
 QT = 512             # query rows per kernel block
 DT = 1024            # data rows per kernel block
-RESCORE_TILE = 256   # query rows per rescore block
+RESCORE_TILE = 512   # query rows per rescore block
 
 
-def _chunkmax_kernel(q_ref, d_ref, dn_ref, m_ref, a_ref):
-    """One (QT x DT) score block -> per-128-chunk (max, argmax).
+def _chunkmax_kernel(q_ref, d_ref, dn_ref, m_ref):
+    """One (QT x DT) score block -> per-128-chunk max.
 
-    Outputs are written transposed, (chunks x queries), so the stored block
+    Output is written transposed, (chunks x queries), so the stored block
     is (c_tile, QT) — lane dim QT is 128-aligned (Mosaic block constraint).
+    The within-chunk argmax is NOT computed here: pass 2 rescoring recovers
+    exact indices, and dropping it saves ~15% kernel time + half the output
+    traffic.
     """
-    j = pl.program_id(1)
-    # HIGHEST: full fp32 via multi-pass MXU — selection quality needs it
-    # (default matmul precision is bf16 on TPU, ~1e-2 score error).
+    # fp32 inputs: HIGHEST = full fp32 via multi-pass MXU — selection
+    # quality needs it (default matmul precision is bf16 on TPU, ~1e-2
+    # score error). bf16 inputs: single MXU pass with fp32 accumulation
+    # (the fast candidate-selection mode; pass 2 rescores in full fp32).
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     s = 2.0 * jnp.dot(
         q_ref[:], d_ref[:].T,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     ) - dn_ref[:]                                   # (QT, DT)
     c_tile = DT // CHUNK
-    s3 = s.reshape(QT, c_tile, CHUNK)
-    m_ref[:] = jnp.max(s3, axis=2).T
-    am = jnp.argmax(s3, axis=2).astype(jnp.int32)   # within-chunk offset
-    base = j * DT + jax.lax.broadcasted_iota(jnp.int32, (QT, c_tile), 1) * CHUNK
-    a_ref[:] = (base + am).T
+    m_ref[:] = jnp.max(s.reshape(QT, c_tile, CHUNK), axis=2).T
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def chunk_max_scores(
     query: jnp.ndarray, data: jnp.ndarray, dn: jnp.ndarray, interpret: bool = False
 ):
-    """(N_q, N_d/128) chunk maxima + global argmax columns.
+    """(N_d/128, N_q) transposed chunk maxima of the score matrix.
 
     ``query``/``data`` must be padded: N_q % QT == 0, N_d % DT == 0, and the
-    feature dim padded to a multiple of 128. ``dn`` = (1, N_d) row of
-    ||x||^2 with +inf for invalid rows.
+    feature dim padded to a multiple of 128 (or exactly 64). ``dn`` =
+    (1, N_d) fp32 row of ||x||^2 with +inf for invalid rows. fp32 inputs
+    select with exact scores; bf16 inputs trade ~3 decimal digits of score
+    precision for a single-pass MXU matmul.
     """
     nq, d = query.shape
     nd = data.shape[0]
     c_total = nd // CHUNK
     c_tile = DT // CHUNK
     grid = (nq // QT, nd // DT)
-    m, a = pl.pallas_call(
+    return pl.pallas_call(
         _chunkmax_kernel,
         grid=grid,
         in_specs=[
@@ -89,22 +94,16 @@ def chunk_max_scores(
             pl.BlockSpec((DT, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, DT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((c_tile, QT), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_tile, QT), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((c_total, nq), jnp.float32),
-            jax.ShapeDtypeStruct((c_total, nq), jnp.int32),
-        ),
+        out_specs=pl.BlockSpec((c_tile, QT), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c_total, nq), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * nq * nd * d,
-            bytes_accessed=(nq * d + nd * d + 2 * nq * c_total) * 4,
+            bytes_accessed=(nq * d + nd * d + nq * c_total) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(query, data, dn)
-    return m, a
 
 
 def _pad_axis(x, multiple, axis, value=0.0):
@@ -117,23 +116,100 @@ def _pad_axis(x, multiple, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16"))
+def _prep_pass1(query, data, data_valid, interpret: bool = False,
+                bf16: bool = False):
+    """Pad, compute data norms, run the chunk-max kernel; returns the
+    (nq, C) chunk-max matrix. With ``bf16`` the matmul inputs are cast to
+    bfloat16 (fp32 accumulation; norms stay fp32) for a single-pass MXU
+    matmul — candidate selection only, pass 2 rescores exactly."""
     nq, d0 = query.shape
-    nd0 = data.shape[0]
     acc = jnp.float32
-
     dpad = 64 if d0 <= 64 else -(-d0 // 128) * 128
     q = _pad_axis(_pad_axis(query.astype(acc), QT, 0), dpad, 1)
     x = _pad_axis(_pad_axis(data.astype(acc), DT, 0), dpad, 1)
-    nd = x.shape[0]
     dn = jnp.sum(jnp.square(x), axis=1)
     valid = _pad_axis(data_valid, DT, 0, value=False)
     dn = jnp.where(valid, dn, jnp.inf)
+    if bf16:
+        q = q.astype(jnp.bfloat16)
+        x = x.astype(jnp.bfloat16)
+    m_t = chunk_max_scores(q, x, dn[None, :], interpret)  # (C, nq_pad)
+    return m_t.T[:nq]
 
-    m_t, a_t = chunk_max_scores(q, x, dn[None, :], interpret)  # (C, nq_pad) transposed
-    m = m_t.T[:nq]
-    a = a_t.T[:nq]
+
+@jax.jit
+def _chunked_view(data, data_valid):
+    """Materialize the padded data as (C, CHUNK, dpad) blocks + per-chunk
+    norms, in a jit of their own so the arrays land in XLA's default
+    layout. Feeding the rescore from pass 1's padded intermediates instead
+    pins a pallas-chosen layout on them and doubles the gather time
+    (651 ms vs 329 ms measured at 98304^2)."""
+    d0 = data.shape[1]
+    dpad = 64 if d0 <= 64 else -(-d0 // 128) * 128
+    x = _pad_axis(_pad_axis(data.astype(jnp.float32), DT, 0), dpad, 1)
+    dn = jnp.sum(jnp.square(x), axis=1)
+    valid = _pad_axis(data_valid, DT, 0, value=False)
+    dn = jnp.where(valid, dn, jnp.inf)
+    return x.reshape(-1, CHUNK, dpad), dn.reshape(-1, CHUNK)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rescore_chunks(query, data3, dn2, top_chunks, k: int):
+    """Gather the selected chunks as whole (CHUNK, dpad) blocks and rescore.
+
+    Chunk-granular gathers move 32 KB contiguous slices, which the TPU
+    memory system handles ~14x faster than the equivalent per-row gather
+    (measured 327 ms vs 4583 ms at 98304^2, d=50, k=20)."""
+    acc = jnp.float32
+    nq, d0 = query.shape
+    dpad = data3.shape[2]
+    kc = top_chunks.shape[1]
+    q = _pad_axis(query.astype(acc), dpad, 1)
+    qn = jnp.sum(jnp.square(q), axis=1)
+
+    nq_pad = -(-nq // RESCORE_TILE) * RESCORE_TILE
+    qp = _pad_axis(q, RESCORE_TILE, 0)
+    tcp = _pad_axis(top_chunks, RESCORE_TILE, 0)
+    ntiles = nq_pad // RESCORE_TILE
+    offs = jnp.arange(CHUNK, dtype=jnp.int32)
+
+    def rescore(args):
+        qt, ct = args                               # (T, dpad), (T, kc)
+        gx = data3[ct]                              # (T, kc, 128, dpad)
+        gdn = dn2[ct]                               # (T, kc, 128)
+        s = 2.0 * jnp.einsum(
+            "td,tkcd->tkc", qt, gx, preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
+        ) - gdn
+        s = s.reshape(qt.shape[0], kc * CHUNK)
+        cols = (ct[:, :, None] * CHUNK + offs[None, None, :]).reshape(
+            qt.shape[0], kc * CHUNK
+        )
+        vals, pos = lax.top_k(s, k)
+        idx = jnp.take_along_axis(cols, pos, axis=1)
+        return idx, vals
+
+    idx, vals = lax.map(
+        rescore,
+        (
+            qp.reshape(ntiles, RESCORE_TILE, dpad),
+            tcp.reshape(ntiles, RESCORE_TILE, kc),
+        ),
+    )
+    idx = idx.reshape(-1, k)[:nq]
+    vals = vals.reshape(-1, k)[:nq]
+    sq = jnp.maximum(qn[:, None] - vals, 0.0)
+    return idx, sq
+
+
+def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False,
+                  bf16: bool = False):
+    """Stage orchestrator. Stages are separately jitted so each gets its
+    own input layouts (see _rescore_chunks); when this function is itself
+    traced inside a larger jit the stages inline and behave as one
+    program."""
+    m = _prep_pass1(query, data, data_valid, interpret, bf16)
 
     kc = min(k, m.shape[1])
     if not interpret and kc <= 64:
@@ -143,46 +219,8 @@ def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False):
     else:
         _, top_chunks = lax.top_k(m, kc)            # (nq, kc)
 
-    qn = jnp.sum(jnp.square(query.astype(acc)), axis=1)
-
-    nq_pad = -(-nq // RESCORE_TILE) * RESCORE_TILE
-    qp = _pad_axis(query.astype(acc), RESCORE_TILE, 0)
-    tcp = _pad_axis(top_chunks, RESCORE_TILE, 0)
-    ntiles = nq_pad // RESCORE_TILE
-
-    offs = jnp.arange(CHUNK, dtype=jnp.int32)
-
-    data_acc = data.astype(acc)
-
-    def rescore(args):
-        qt, ct = args                               # (T, d0), (T, kc)
-        cols = (ct[:, :, None] * CHUNK + offs[None, None, :]).reshape(
-            qt.shape[0], kc * CHUNK
-        )                                           # (T, kc*128)
-        # gather the *unpadded* features; padded-row columns clamp to a
-        # valid row but keep score -inf through their +inf norm.
-        safe_cols = jnp.minimum(cols, nd0 - 1)
-        gx = data_acc[safe_cols]                    # (T, kc*128, d0)
-        gdn = dn[cols]
-        s = 2.0 * jnp.einsum(
-            "td,tcd->tc", qt, gx, preferred_element_type=acc,
-            precision=jax.lax.Precision.HIGHEST,
-        ) - gdn
-        vals, pos = lax.top_k(s, k)
-        idx = jnp.take_along_axis(cols, pos, axis=1)
-        return idx, vals
-
-    idx, vals = lax.map(
-        rescore,
-        (
-            qp.reshape(ntiles, RESCORE_TILE, d0),
-            tcp.reshape(ntiles, RESCORE_TILE, kc),
-        ),
-    )
-    idx = idx.reshape(-1, k)[:nq]
-    vals = vals.reshape(-1, k)[:nq]
-    sq = jnp.maximum(qn[:, None] - vals, 0.0)
-    return idx, sq
+    data3, dn2 = _chunked_view(data, data_valid)
+    return _rescore_chunks(query, data3, dn2, top_chunks, k)
 
 
 def query_knn_tpu(
@@ -193,11 +231,14 @@ def query_knn_tpu(
     n_data_valid: Optional[int] = None,
     data_mask: Optional[jnp.ndarray] = None,
     squared: bool = False,
+    bf16: bool = False,
 ):
     """Exact kNN via the fused chunk-max kernel + chunk rescore.
 
     Same contract as knn.query_knn; requires N_d/128 >= k chunks (smaller
-    inputs should use the XLA path).
+    inputs should use the XLA path). ``bf16`` selects candidate chunks
+    with a bf16 matmul (recall slightly below 1 near score ties; reported
+    distances stay exact fp32).
     """
     from .knn import KNNResult
 
@@ -211,6 +252,6 @@ def query_knn_tpu(
     else:
         valid = jnp.ones((nd,), dtype=bool)
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
-    idx, sq = _knn_two_pass(query, data, k, valid, interpret)
+    idx, sq = _knn_two_pass(query, data, k, valid, interpret, bf16)
     dist = sq if squared else jnp.sqrt(sq)
     return KNNResult(idx, dist)

@@ -27,6 +27,12 @@ from ..ops.mutual_nn import choose_k, membership_rows
 from ..utils.batching import reindex_pairings, restore_original_order
 from ..utils.trees import binarize_tree
 from .mesh import CELLS_AXIS, cells_sharding, pad_to_multiple
+from .ring import (
+    ring_membership,
+    ring_query_knn_local,
+    ring_segment_reduce,
+    ring_weighted_gather,
+)
 
 shard_map = jax.shard_map
 
@@ -35,18 +41,29 @@ __all__ = ["distributed_fast_mnn"]
 
 @functools.lru_cache(maxsize=64)
 def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
-                 min_batch_skip: float, knn_method: str):
+                 min_batch_skip: float, knn_method: str, memory: str):
     """One compiled step per (mesh, k, ...) combo: reusing the jitted
     callable lets XLA's jit cache hit across merge steps with equal
     shapes (a fresh closure per step would never cache)."""
     spec_data = P(CELLS_AXIS, None)
     spec_mask = P(CELLS_AXIS)
-    fn = shard_map(
-        functools.partial(
+    if memory == "gather":
+        body = functools.partial(
             _step_local,
             k1=k1, k2=k2, tricube_k=tricube_k, ndist=ndist,
             min_batch_skip=min_batch_skip, knn_method=knn_method,
-        ),
+        )
+    elif memory == "ring":
+        body = functools.partial(
+            _step_local_ring,
+            k1=k1, k2=k2, tricube_k=tricube_k, ndist=ndist,
+            min_batch_skip=min_batch_skip, knn_method=knn_method,
+            ndev=int(mesh.devices.size),
+        )
+    else:
+        raise ValueError(f"unknown memory mode {memory!r}")
+    fn = shard_map(
+        body,
         mesh=mesh,
         in_specs=(
             spec_data, spec_data, spec_mask, spec_mask, spec_mask, spec_mask,
@@ -167,6 +184,92 @@ def _step_local(
     tri = (1.0 - rel**3) ** 3
     w = tri / jnp.sum(tri, axis=1, keepdims=True)
     correction = jnp.einsum("nk,nkd->nd", w, avg2[idx])
+    right_out = jnp.where(do_correct, rshard_c + correction, rshard_c)
+
+    return lshard_c, right_out, overall, magnitude, n_pairs, mutual, l2r
+
+
+def _step_local_ring(
+    lshard, rshard, lvalid, rvalid, lres, rres, lextras, rextras,
+    k1: int, k2: int, tricube_k: int, ndist: float, min_batch_skip: float,
+    knn_method: str = "exact", ndev: int = 1,
+):
+    """Constant-memory merge step: no array of global length is ever
+    materialized per device. The opposing batch rotates around the ring for
+    the kNN searches (ring.ring_query_knn_local), the MNN membership test
+    walks the sharded neighbour table (ring.ring_membership), the
+    per-right-cell correction table is built by a ring reduce-scatter
+    (ring.ring_segment_reduce, so the (N2, d) avg stays sharded), and the
+    tricube apply gathers from the sharded table (ring.ring_weighted_gather).
+    Per-device memory is O(shard), independent of the global cell count —
+    the 100M-cell regime (SURVEY.md §5 "long-context analog").
+
+    Same semantics as _step_local up to floating-point reduction order and
+    kNN tie-breaking on equal distances.
+    """
+    dt = lshard.dtype
+    d = lshard.shape[1]
+    my = lax.axis_index(CELLS_AXIS)
+    nsl = lshard.shape[0]
+    s2 = rshard.shape[0]
+
+    for i in range(lextras.shape[0]):
+        vec = lextras[i]
+        nrm = jnp.sum(jnp.square(vec))
+        v = vec / jnp.sqrt(jnp.where(nrm > 0, nrm, 1.0))
+        cand, _ = _center_shard(rshard, rres & rvalid, v, dt)
+        rshard = jnp.where(nrm > 0, cand, rshard)
+    for i in range(rextras.shape[0]):
+        vec = rextras[i]
+        nrm = jnp.sum(jnp.square(vec))
+        v = vec / jnp.sqrt(jnp.where(nrm > 0, nrm, 1.0))
+        cand, _ = _center_shard(lshard, lres & lvalid, v, dt)
+        lshard = jnp.where(nrm > 0, cand, lshard)
+
+    l2r, _ = ring_query_knn_local(
+        lshard, rshard, rvalid & rres, k2, ndev, method=knn_method)
+    r2l, _ = ring_query_knn_local(
+        rshard, lshard, lvalid & lres, k1, ndev, method=knn_method)
+
+    my_ids = my * nsl + jnp.arange(nsl, dtype=l2r.dtype)
+    mutual = ring_membership(l2r, r2l, my_ids, s2, ndev)
+    mutual = mutual & (lres & lvalid)[:, None]
+    n_pairs = _psum(jnp.sum(mutual))
+
+    def averaged(l_rows, r_rows):
+        lsums, counts = ring_segment_reduce(l_rows, l2r, mutual, s2, ndev)
+        sums = lsums - r_rows * counts[:, None]
+        return sums / jnp.maximum(counts, 1.0)[:, None], counts > 0
+
+    avg, involved = averaged(lshard, rshard)
+    n_involved = jnp.maximum(_psum(jnp.sum(involved)), 1)
+    overall = _psum(
+        jnp.sum(jnp.where(involved[:, None], avg, 0.0), axis=0)) / n_involved
+    denom = _psum(
+        jnp.sum(jnp.sum(jnp.square(avg), axis=1) * involved)) / n_involved
+    num = jnp.sum(jnp.square(overall))
+    magnitude = jnp.where(
+        denom == 0, 0.0, jnp.sqrt(num / jnp.where(denom == 0, 1.0, denom))
+    )
+    do_correct = magnitude >= min_batch_skip
+
+    v = overall / jnp.sqrt(jnp.sum(jnp.square(overall)))
+    lshard_c, _ = _center_shard(lshard, lres & lvalid, v, dt)
+    rshard_c, _ = _center_shard(rshard, rres & rvalid, v, dt)
+    lshard_c = jnp.where(do_correct, lshard_c, lshard)
+    rshard_c = jnp.where(do_correct, rshard_c, rshard)
+
+    avg2, _ = averaged(lshard_c, rshard_c)
+
+    idx, dist = ring_query_knn_local(
+        rshard_c, rshard_c, involved & rvalid, tricube_k, ndev,
+        method=knn_method)
+    middle = -(-tricube_k // 2) - 1
+    bandwidth = jnp.maximum(dist[:, middle] * ndist, 1e-8)
+    rel = jnp.minimum(dist / bandwidth[:, None], 1.0)
+    tri = (1.0 - rel**3) ** 3
+    w = tri / jnp.sum(tri, axis=1, keepdims=True)
+    correction = ring_weighted_gather(idx, w, avg2, s2, ndev)
     right_out = jnp.where(do_correct, rshard_c + correction, rshard_c)
 
     return lshard_c, right_out, overall, magnitude, n_pairs, mutual, l2r
@@ -316,11 +419,17 @@ def distributed_fast_mnn(
     collect_pairs: bool = True,
     knn_method: str = "exact",
     pad_buckets: bool = False,
+    memory: str = "gather",
 ) -> MNNResult:
     """Full fastMNN correction on precomputed coordinates, cells sharded
     over ``mesh``. Matches reduced_mnn for the supported options
     (predefined merge orders, restriction, min_batch_skip); lost_var is not
     computed in this path (reported as nan).
+
+    ``memory``: "gather" all-gathers the opposing batch per step (fastest
+    while (N, d) fits per-device HBM); "ring" keeps every global-length
+    array sharded and rotates blocks over the ring (constant per-device
+    memory — the >HBM regime; see _step_local_ring).
     """
     nb = len(batches)
     if nb < 2:
@@ -352,7 +461,7 @@ def distributed_fast_mnn(
         tric_k = min(choose_k(k, prop_k, right.n), right.n)
 
         step = _jitted_step(
-            mesh, k1, k2, tric_k, ndist, min_batch_skip, knn_method
+            mesh, k1, k2, tric_k, ndist, min_batch_skip, knn_method, memory
         )
         # pad replay vectors to a fixed count (nb-1) for compile reuse
         emax = nb - 1

@@ -61,3 +61,36 @@ def test_driver_min_batch_skip(rng, mesh8):
     assert np.allclose(
         np.asarray(dist.corrected), np.concatenate([b1, b2]), atol=1e-10
     )
+
+
+def test_driver_ring_memory_matches_gather(rng, mesh8):
+    """memory='ring' (constant per-device memory) reproduces the all-gather
+    path: same MNN pairs, same corrected coordinates up to reduction
+    order."""
+    b1 = rng.normal(size=(120, 14))
+    b2 = rng.normal(size=(150, 14)) + 1
+    b3 = rng.normal(size=(90, 14)) + 2
+    mats = [jnp.asarray(b) for b in (b1, b2, b3)]
+    ring = distributed_fast_mnn(mats, mesh8, memory="ring")
+    gather = distributed_fast_mnn(mats, mesh8, memory="gather")
+    assert np.allclose(
+        np.asarray(ring.corrected), np.asarray(gather.corrected), atol=1e-8
+    )
+    assert np.array_equal(ring.batch, gather.batch)
+    for a, b in zip(ring.merge_info, gather.merge_info):
+        assert set(map(tuple, a.pairs.tolist())) == set(map(tuple, b.pairs.tolist()))
+        assert np.isclose(a.batch_size, b.batch_size, atol=1e-8)
+
+
+def test_driver_ring_memory_restrict(rng, mesh8):
+    b1 = rng.normal(size=(100, 10))
+    b2 = rng.normal(size=(110, 10)) + 1
+    res = [np.arange(0, 100, 2), None]
+    mats = [jnp.asarray(b) for b in (b1, b2)]
+    ring = distributed_fast_mnn(mats, mesh8, restrict=res, memory="ring")
+    ref = reduced_mnn(mats, restrict=res)
+    assert np.allclose(
+        np.asarray(ring.corrected), np.asarray(ref.corrected), atol=1e-8
+    )
+    for a, b in zip(ring.merge_info, ref.merge_info):
+        assert set(map(tuple, a.pairs.tolist())) == set(map(tuple, b.pairs.tolist()))

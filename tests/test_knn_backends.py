@@ -36,3 +36,24 @@ def test_approx_high_recall(rng):
     out_sets = [set(r) for r in np.asarray(out.indices).tolist()]
     recall = np.mean([len(a & b) / 10 for a, b in zip(ref_sets, out_sets)])
     assert recall > 0.95
+
+
+def test_bf16_high_recall(rng):
+    """bf16 candidate selection: near-perfect recall, exact fp32 distances
+    for the neighbours it does return."""
+    q = rng.normal(size=(64, 8)).astype(np.float32)
+    x = rng.normal(size=(2048, 8)).astype(np.float32)
+    ref = query_knn(jnp.asarray(q), jnp.asarray(x), 8, method="exact")
+    out = query_knn(jnp.asarray(q), jnp.asarray(x), 8, method="bf16")
+    ref_i = np.asarray(ref.indices)
+    out_i = np.asarray(out.indices)
+    recall = np.mean([
+        len(set(a) & set(b)) / 8 for a, b in zip(ref_i.tolist(), out_i.tolist())
+    ])
+    assert recall > 0.9
+    # where the selection agrees, distances must agree to fp32 exactness
+    agree = ref_i == out_i
+    assert np.allclose(
+        np.asarray(ref.distances)[agree], np.asarray(out.distances)[agree],
+        atol=1e-5,
+    )
