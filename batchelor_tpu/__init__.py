@@ -54,6 +54,7 @@ from .correct.experiments import (
     apply_multi,
 )
 from .correct.fused import fused_merge_step
+from .correct.outofcore import quick_correct_csr
 from .io.csr import CSRCells, dense_blocks
 from .io.checkpoint import MergeCheckpointer, save_pca_stage, load_pca_stage
 from .utils.batching import (

@@ -125,6 +125,42 @@ def _cmd_correct(args):
     print(f"corrected {res.corrected.shape} -> {args.output}")
 
 
+def _cmd_quick_correct(args):
+    from .correct.outofcore import quick_correct_csr
+    from .io.csr import CSRCells
+    from .utils.telemetry import MetricsRecorder
+
+    stores = [CSRCells.load(p) for p in args.input]
+    rec = MetricsRecorder()
+    with rec.activate():
+        out = quick_correct_csr(
+            stores, hvg_n=args.hvgs, d=args.d, k=args.k,
+            knn_method=args.knn, block_rows=args.block_rows,
+        )
+    res = out.corrected
+    os.makedirs(args.output, exist_ok=True)
+    np.save(os.path.join(args.output, "corrected.npy"), np.asarray(res.corrected))
+    np.save(os.path.join(args.output, "batch.npy"), np.asarray(res.batch))
+    np.save(os.path.join(args.output, "hvgs.npy"), np.asarray(out.hvgs))
+    np.save(os.path.join(args.output, "rotation.npy"), np.asarray(res.rotation))
+    np.save(os.path.join(args.output, "centers.npy"), np.asarray(res.centers))
+    info = [
+        {
+            "left": [int(x) for x in i.left],
+            "right": [int(x) for x in i.right],
+            "n_pairs": int(i.pairs.shape[0]),
+            "batch_size": None if np.isnan(i.batch_size) else float(i.batch_size),
+            "skipped": bool(i.skipped),
+        }
+        for i in res.merge_info
+    ]
+    with open(os.path.join(args.output, "merge_info.json"), "w") as fh:
+        json.dump(info, fh, indent=1)
+    with open(os.path.join(args.output, "metrics.json"), "w") as fh:
+        fh.write(rec.dump_json())
+    print(f"corrected {res.corrected.shape} ({out.hvgs.shape[0]} HVGs) -> {args.output}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="batchelor_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -149,11 +185,30 @@ def main(argv=None):
     cor.add_argument("--d", type=int, default=50)
     cor.add_argument("--k", type=int, default=20)
     cor.add_argument("--sigma", type=float, default=0.1)
-    cor.add_argument("--knn", default="exact", choices=["exact", "chunked", "approx"])
+    cor.add_argument(
+        "--knn", default="auto",
+        choices=["auto", "exact", "chunked", "bf16", "approx"],
+    )
     cor.add_argument("--svd", default="gram", choices=["gram", "randomized", "direct"])
     cor.add_argument("--subset-hvgs", type=int, default=0)
     cor.add_argument("--correct-all", action="store_true")
     cor.set_defaults(fn=_cmd_correct)
+
+    qc = sub.add_parser(
+        "quick-correct",
+        help="out-of-core quickCorrect over CSR stores (never densifies)",
+    )
+    qc.add_argument("--input", nargs="+", required=True, help="per-batch store dirs")
+    qc.add_argument("--output", required=True)
+    qc.add_argument("--hvgs", type=int, default=5000)
+    qc.add_argument("--d", type=int, default=50)
+    qc.add_argument("--k", type=int, default=20)
+    qc.add_argument(
+        "--knn", default="auto",
+        choices=["auto", "exact", "chunked", "bf16", "approx"],
+    )
+    qc.add_argument("--block-rows", type=int, default=8192)
+    qc.set_defaults(fn=_cmd_quick_correct)
 
     args = p.parse_args(argv)
     args.fn(args)

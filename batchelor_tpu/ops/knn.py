@@ -191,8 +191,11 @@ def query_knn(
       * "chunked": Pallas fused chunk-max kernel + exact rescore
         (exact up to tie-breaking; large-N path, knn_pallas.py);
       * "bf16": "chunked" with bf16 candidate selection (single-pass MXU
-        matmul, ~recall 0.999+; distances exact fp32);
-      * "approx": lax.approx_max_k, recall ~0.99 (the Annoy/HNSW analog).
+        matmul, ~recall 0.996; distances exact fp32);
+      * "approx": lax.approx_max_k, recall ~0.99 (the Annoy/HNSW analog);
+      * "auto": "exact" for small problems (where it is index-stable and
+        compile-cheap), "chunked" once the score matrix is large enough
+        for the two-pass kernel to win (TPU only).
     ``k`` must not exceed the number of valid data rows; ``n_data_valid``
     or ``data_mask`` exclude padded/invalid data rows.
     """
@@ -200,6 +203,15 @@ def query_knn(
         raise ValueError("k must be positive")
     query = jnp.asarray(query)
     data = jnp.asarray(data)
+    if method == "auto":
+        big = query.shape[0] * data.shape[0] > (1 << 26)
+        enough_chunks = data.shape[0] >= 256 * k
+        method = (
+            "chunked"
+            if big and enough_chunks and jax.default_backend() == "tpu"
+            and jnp.promote_types(query.dtype, jnp.float32) == jnp.float32
+            else "exact"
+        )
     if method in ("chunked", "bf16"):
         from .knn_pallas import query_knn_tpu
 

@@ -125,3 +125,55 @@ def test_outofcore_pca_matches_dense(rng):
             assert np.allclose(m[:, j], t[:, j], atol=1e-3) or np.allclose(
                 m[:, j], -t[:, j], atol=1e-3
             )
+
+
+def test_quick_correct_csr_matches_dense_pipeline(rng):
+    """quick_correct_csr ~= the equivalent dense pipeline on the same HVGs
+    (fp32 streaming vs fp64 dense: subspace/sign-invariant comparisons)."""
+    from batchelor_tpu import quick_correct_csr
+    from batchelor_tpu.correct.fast_mnn import reduced_mnn
+    from batchelor_tpu.ops.cosine_norm import cosine_norm
+    from batchelor_tpu.ops.normalization import multi_batch_norm
+    from batchelor_tpu.ops.pca import multi_batch_pca
+
+    c1 = rng.poisson(4.0, size=(150, 80)).astype(np.float32)
+    c2 = rng.poisson(9.0, size=(120, 80)).astype(np.float32)
+    csrs = [CSRCells.from_dense(c1), CSRCells.from_dense(c2)]
+
+    out = quick_correct_csr(csrs, hvg_n=40, d=8, k=10, block_rows=64,
+                            knn_method="exact")
+    nhv = out.hvgs.shape[0]
+    assert 8 < nhv <= 40          # bio>0 filter can keep fewer than hvg_n
+    assert out.corrected.corrected.shape == (270, 8)
+    assert out.corrected.rotation.shape == (nhv, 8)
+
+    # dense replication with the SAME hvgs (HVG ranking itself can flip on
+    # fp32-vs-fp64 ties; the pipeline equivalence is what's under test)
+    norm = multi_batch_norm([jnp.asarray(c1), jnp.asarray(c2)])
+    hv = np.asarray(out.hvgs)
+    logc = [m[:, jnp.asarray(hv)] for m in norm.logcounts]
+    cn = [cosine_norm(m) for m in logc]
+    pca = multi_batch_pca(cn, d=8)
+    ref = reduced_mnn([jnp.asarray(c) for c in pca.components], k=10)
+
+    mine = np.asarray(out.corrected.corrected)
+    theirs = np.asarray(ref.corrected)
+    # per-component sign-invariant agreement
+    for j in range(8):
+        assert np.allclose(mine[:, j], theirs[:, j], atol=5e-3) or np.allclose(
+            mine[:, j], -theirs[:, j], atol=5e-3
+        )
+    assert [tuple(i.left) for i in out.corrected.merge_info] == [
+        tuple(i.left) for i in ref.merge_info
+    ]
+
+
+def test_quick_correct_csr_input_validation(rng):
+    from batchelor_tpu import quick_correct_csr
+
+    c1 = rng.poisson(4.0, size=(50, 30)).astype(np.float32)
+    c2 = rng.poisson(4.0, size=(40, 25)).astype(np.float32)
+    with np.testing.assert_raises(ValueError):
+        quick_correct_csr([CSRCells.from_dense(c1), CSRCells.from_dense(c2)])
+    with np.testing.assert_raises(ValueError):
+        quick_correct_csr([CSRCells.from_dense(c1)])

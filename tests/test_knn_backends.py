@@ -57,3 +57,12 @@ def test_bf16_high_recall(rng):
         np.asarray(ref.distances)[agree], np.asarray(out.distances)[agree],
         atol=1e-5,
     )
+
+
+def test_auto_dispatch(rng):
+    """'auto' picks exact for small problems (index-stable result)."""
+    q = rng.normal(size=(50, 6))
+    x = rng.normal(size=(300, 6))
+    ref = query_knn(jnp.asarray(q), jnp.asarray(x), 5, method="exact")
+    out = query_knn(jnp.asarray(q), jnp.asarray(x), 5, method="auto")
+    assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
