@@ -21,6 +21,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.correction import pair_segment_sums
 from ..ops.knn import query_knn
 from ..ops.mutual_nn import membership_rows
 
@@ -75,19 +76,11 @@ def fused_merge_step(
     def averaged_correction(ld, rd):
         # per segment j: sum over pairs of (left_i - right_j)
         #   = (sum of paired left rows) - count_j * right_j
-        # accumulated one neighbour position at a time — no (N1, k2, d)
-        # intermediate (which OOMs at 10^6-cell scale).
-        lsums = jnp.zeros((n2 + 1, d), dt)
-        counts_f = jnp.zeros((n2 + 1,), dt)
-        for p in range(k2):
-            seg = jnp.where(mutual[:, p], l2r[:, p], n2)
-            w = mutual[:, p].astype(dt)
-            lsums = lsums + jax.ops.segment_sum(
-                ld * w[:, None], seg, num_segments=n2 + 1
-            )
-            counts_f = counts_f + jax.ops.segment_sum(w, seg, num_segments=n2 + 1)
-        counts = counts_f[:n2]
-        sums = lsums[:n2] - rd * counts[:, None]
+        # scan over neighbour positions — no (N1, k2, d) intermediate
+        # (OOMs at 10^6-cell scale) and no unrolled per-position HLO
+        # (minutes of compile time at large N).
+        lsums, counts = pair_segment_sums(ld, l2r, mutual, n2)
+        sums = lsums - rd * counts[:, None]
         involved = counts > 0
         avg = sums / jnp.maximum(counts, 1.0)[:, None]
         return avg, counts, involved

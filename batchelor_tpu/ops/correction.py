@@ -24,10 +24,51 @@ __all__ = [
     "batch_magnitude",
     "center_along_batch_vector",
     "orthogonalize_other",
+    "pair_segment_sums",
     "per_batch_var",
     "tricube_average",
     "tricube_weighted_correction",
 ]
+
+
+def pair_segment_sums(l_rows, l2r, mutual, n_segments: int, *, lo=0):
+    """(sum of paired left rows, pair count) per right-cell segment.
+
+    For each mutual pair (i, j = l2r[i, p]) accumulates l_rows[i] into
+    segment j and 1 into its count, one neighbour position at a time via
+    lax.scan — no (N1, k2, d) intermediate (OOMs at the 10^6-cell scale)
+    and no unrolled per-position HLO (a Python loop over k2=20 positions
+    costs minutes of XLA compile time at large N; the scan compiles once).
+
+    ``lo``: only l2r values in [lo, lo + n_segments) contribute, shifted by
+    -lo — the windowed form the ring reduce-scatter uses. Returns
+    (lsums (n_segments, d), counts (n_segments,)).
+    """
+    from jax import lax as _lax
+
+    dt = l_rows.dtype
+    d = l_rows.shape[1]
+
+    def body(carry, inp):
+        lsums, counts = carry
+        col, mut = inp                      # (N1,), (N1,) bool
+        inr = mut & (col >= lo) & (col < lo + n_segments)
+        seg = jnp.where(inr, col - lo, n_segments)
+        w = inr.astype(dt)
+        lsums = lsums + jax.ops.segment_sum(
+            l_rows * w[:, None], seg, num_segments=n_segments + 1
+        )
+        counts = counts + jax.ops.segment_sum(
+            w, seg, num_segments=n_segments + 1
+        )
+        return (lsums, counts), None
+
+    init = (
+        jnp.zeros((n_segments + 1, d), dt),
+        jnp.zeros((n_segments + 1,), dt),
+    )
+    (lsums, counts), _ = _lax.scan(body, init, (l2r.T, mutual.T))
+    return lsums[:n_segments], counts[:n_segments]
 
 
 def _bucket(n: int, minimum: int = 256) -> int:

@@ -138,13 +138,19 @@ def _prep_pass1(query, data, data_valid, interpret: bool = False,
     return m_t.T[:nq]
 
 
-@jax.jit
-def _chunked_view(data, data_valid):
+@functools.partial(jax.jit, static_argnames=("bf16",))
+def _chunked_view(data, data_valid, bf16: bool = False):
     """Materialize the padded data as (C, CHUNK, dpad) blocks + per-chunk
     norms, in a jit of their own so the arrays land in XLA's default
     layout. Feeding the rescore from pass 1's padded intermediates instead
     pins a pallas-chosen layout on them and doubles the gather time
-    (651 ms vs 329 ms measured at 98304^2)."""
+    (651 ms vs 329 ms measured at 98304^2).
+
+    ``bf16`` is accepted for signature symmetry but ignored: storing the
+    gathered blocks in bfloat16 was measured SLOWER (481 vs 366 ms at
+    98304^2) — the halved bytes don't pay for the 16 KB slices and the
+    bf16 einsum relayout — so the rescore always gathers fp32."""
+    del bf16
     d0 = data.shape[1]
     dpad = 64 if d0 <= 64 else -(-d0 // 128) * 128
     x = _pad_axis(_pad_axis(data.astype(jnp.float32), DT, 0), dpad, 1)
@@ -167,6 +173,8 @@ def _rescore_chunks(query, data3, dn2, top_chunks, k: int):
     kc = top_chunks.shape[1]
     q = _pad_axis(query.astype(acc), dpad, 1)
     qn = jnp.sum(jnp.square(q), axis=1)
+    if data3.dtype == jnp.bfloat16:
+        q = q.astype(jnp.bfloat16)      # single-pass MXU rescore
 
     nq_pad = -(-nq // RESCORE_TILE) * RESCORE_TILE
     qp = _pad_axis(q, RESCORE_TILE, 0)
@@ -174,13 +182,18 @@ def _rescore_chunks(query, data3, dn2, top_chunks, k: int):
     ntiles = nq_pad // RESCORE_TILE
     offs = jnp.arange(CHUNK, dtype=jnp.int32)
 
+    # fp32 inputs: HIGHEST (exact fp32 scores). bf16 inputs: DEFAULT is
+    # already the exact single-pass product of the stored values.
+    prec = (jax.lax.Precision.DEFAULT if data3.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
     def rescore(args):
         qt, ct = args                               # (T, dpad), (T, kc)
         gx = data3[ct]                              # (T, kc, 128, dpad)
         gdn = dn2[ct]                               # (T, kc, 128)
         s = 2.0 * jnp.einsum(
             "td,tkcd->tkc", qt, gx, preferred_element_type=acc,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         ) - gdn
         s = s.reshape(qt.shape[0], kc * CHUNK)
         cols = (ct[:, :, None] * CHUNK + offs[None, None, :]).reshape(
@@ -219,7 +232,7 @@ def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False,
     else:
         _, top_chunks = lax.top_k(m, kc)            # (nq, kc)
 
-    data3, dn2 = _chunked_view(data, data_valid)
+    data3, dn2 = _chunked_view(data, data_valid, bf16)
     return _rescore_chunks(query, data3, dn2, top_chunks, k)
 
 

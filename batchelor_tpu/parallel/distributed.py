@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 shard_map = jax.shard_map
 
+from ..ops.correction import pair_segment_sums
 from ..ops.knn import query_knn
 from ..ops.mutual_nn import membership_rows
 from .mesh import CELLS_AXIS, cells_sharding, make_cells_mesh, pad_to_multiple
@@ -71,15 +72,12 @@ def _merge_step_local(
     n_pairs = _psum(jnp.sum(mutual))
 
     def averaged(l_rows, right_full):
-        diffs = l_rows[:, None, :] - right_full[l2r]                  # (S, k2, d)
-        w = mutual.astype(dt)
-        seg = jnp.where(mutual, l2r, n2).reshape(-1)
-        sums = jax.ops.segment_sum(
-            (diffs * w[:, :, None]).reshape(-1, d), seg, num_segments=n2 + 1
-        )[:n2]
-        counts = jax.ops.segment_sum(w.reshape(-1), seg, num_segments=n2 + 1)[:n2]
-        sums = _psum(sums)
+        # scan over neighbour positions (no (S, k2, d) intermediate, no
+        # unrolled per-position HLO); see ops.correction.pair_segment_sums
+        lsums, counts = pair_segment_sums(l_rows, l2r, mutual, n2)
+        lsums = _psum(lsums)
         counts = _psum(counts)
+        sums = lsums - right_full * counts[:, None]
         involved = counts > 0
         return sums / jnp.maximum(counts, 1.0)[:, None], involved
 

@@ -12,6 +12,7 @@ host path in correct/fast_mnn.py remains the reference-parity engine.
 from __future__ import annotations
 
 import functools
+import time as _time
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
@@ -22,6 +23,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..correct.fast_mnn import MergeStepInfo, MNNResult
+from ..ops.correction import pair_segment_sums
 from ..ops.knn import query_knn
 from ..ops.mutual_nn import choose_k, membership_rows
 from ..utils.batching import reindex_pairings, restore_original_order
@@ -90,6 +92,20 @@ def _center_shard(shard, stat_mask, v, dt):
     return shard + jnp.outer(mean - loc, v), mean
 
 
+def _replay_extras(shard, stat_mask, extras, dt):
+    """Orthogonalization replay (reference R/fastMNN.R:472-474) as a scan
+    over the padded batch-vector table; zero rows are skipped."""
+
+    def body(sh, vec):
+        nrm = jnp.sum(jnp.square(vec))
+        v = vec / jnp.sqrt(jnp.where(nrm > 0, nrm, 1.0))
+        cand, _ = _center_shard(sh, stat_mask, v, dt)
+        return jnp.where(nrm > 0, cand, sh), None
+
+    shard, _ = lax.scan(body, shard, extras)
+    return shard
+
+
 def _step_local(
     lshard, rshard, lvalid, rvalid, lres, rres, lextras, rextras,
     k1: int, k2: int, tricube_k: int, ndist: float, min_batch_skip: float,
@@ -101,21 +117,10 @@ def _step_local(
     my = lax.axis_index(CELLS_AXIS)
     nsl = lshard.shape[0]
 
-    # orthogonalization replay (reference R/fastMNN.R:472-474).
-    # extras are padded to a fixed count with zero rows so the compiled
-    # step is reusable across merge steps; zero rows are skipped.
-    for i in range(lextras.shape[0]):
-        vec = lextras[i]
-        nrm = jnp.sum(jnp.square(vec))
-        v = vec / jnp.sqrt(jnp.where(nrm > 0, nrm, 1.0))
-        cand, _ = _center_shard(rshard, rres & rvalid, v, dt)
-        rshard = jnp.where(nrm > 0, cand, rshard)
-    for i in range(rextras.shape[0]):
-        vec = rextras[i]
-        nrm = jnp.sum(jnp.square(vec))
-        v = vec / jnp.sqrt(jnp.where(nrm > 0, nrm, 1.0))
-        cand, _ = _center_shard(lshard, lres & lvalid, v, dt)
-        lshard = jnp.where(nrm > 0, cand, lshard)
+    # orthogonalization replay: extras are padded to a fixed count with
+    # zero rows so the compiled step is reusable across merge steps.
+    rshard = _replay_extras(rshard, rres & rvalid, lextras, dt)
+    lshard = _replay_extras(lshard, lres & lvalid, rextras, dt)
 
     full_right = lax.all_gather(rshard, CELLS_AXIS, tiled=True)
     full_left = lax.all_gather(lshard, CELLS_AXIS, tiled=True)
@@ -133,20 +138,12 @@ def _step_local(
 
     def averaged(l_rows, right_full):
         # sum over pairs of (left_i - right_j) per segment j equals
-        # (sum of paired left rows) - count_j * right_j; accumulate one
-        # neighbour position at a time so no (N1, k2, d) tensor ever
-        # materializes (it OOMs at the 10^6-cell scale).
-        lsums = jnp.zeros((n2 + 1, d), dt)
-        counts = jnp.zeros((n2 + 1,), dt)
-        for p in range(l2r.shape[1]):
-            seg = jnp.where(mutual[:, p], l2r[:, p], n2)
-            w = mutual[:, p].astype(dt)
-            lsums = lsums + jax.ops.segment_sum(
-                l_rows * w[:, None], seg, num_segments=n2 + 1
-            )
-            counts = counts + jax.ops.segment_sum(w, seg, num_segments=n2 + 1)
-        lsums = _psum(lsums[:n2])
-        counts = _psum(counts[:n2])
+        # (sum of paired left rows) - count_j * right_j; scan over
+        # neighbour positions (pair_segment_sums) so no (N1, k2, d) tensor
+        # materializes and no unrolled per-position HLO inflates compile.
+        lsums, counts = pair_segment_sums(l_rows, l2r, mutual, n2)
+        lsums = _psum(lsums)
+        counts = _psum(counts)
         sums = lsums - right_full * counts[:, None]
         return sums / jnp.maximum(counts, 1.0)[:, None], counts > 0
 
@@ -213,18 +210,8 @@ def _step_local_ring(
     nsl = lshard.shape[0]
     s2 = rshard.shape[0]
 
-    for i in range(lextras.shape[0]):
-        vec = lextras[i]
-        nrm = jnp.sum(jnp.square(vec))
-        v = vec / jnp.sqrt(jnp.where(nrm > 0, nrm, 1.0))
-        cand, _ = _center_shard(rshard, rres & rvalid, v, dt)
-        rshard = jnp.where(nrm > 0, cand, rshard)
-    for i in range(rextras.shape[0]):
-        vec = rextras[i]
-        nrm = jnp.sum(jnp.square(vec))
-        v = vec / jnp.sqrt(jnp.where(nrm > 0, nrm, 1.0))
-        cand, _ = _center_shard(lshard, lres & lvalid, v, dt)
-        lshard = jnp.where(nrm > 0, cand, lshard)
+    rshard = _replay_extras(rshard, rres & rvalid, lextras, dt)
+    lshard = _replay_extras(lshard, lres & lvalid, rextras, dt)
 
     l2r, _ = ring_query_knn_local(
         lshard, rshard, rvalid & rres, k2, ndev, method=knn_method)
@@ -366,12 +353,11 @@ def _bucket_size(n: int, ndev: int, buckets: bool) -> int:
     if not buckets:
         return base
     target = 1
-    while target < base:
+    while True:
         for m in (1, 2, 5):
             if m * target >= base:
                 return -(-m * target // ndev) * ndev
         target *= 10
-    return base
 
 
 def _concat_dev(mesh, left: _DevBatch, right: _DevBatch, lc, rc, overall, skipped,
@@ -420,6 +406,7 @@ def distributed_fast_mnn(
     knn_method: str = "exact",
     pad_buckets: bool = False,
     memory: str = "gather",
+    progress: bool = False,
 ) -> MNNResult:
     """Full fastMNN correction on precomputed coordinates, cells sharded
     over ``mesh``. Matches reduced_mnn for the supported options
@@ -471,12 +458,20 @@ def distributed_fast_mnn(
         rex = jnp.zeros((emax, d), dt)
         if right.extras:
             rex = rex.at[: len(right.extras)].set(jnp.stack(right.extras))
+        t0 = _time.perf_counter() if progress else 0.0
         lc, rc, overall, mag, n_pairs, mutual, l2r = step(
             left.data, right.data, left.valid, right.valid, left.res, right.res,
             lex, rex,
         )
 
         mag_f = float(mag)
+        if progress:
+            print(
+                f"[distributed_fast_mnn] step {mdx}: "
+                f"L={left.data.shape[0]} R={right.data.shape[0]} "
+                f"{_time.perf_counter() - t0:.2f}s (incl. any compile)",
+                flush=True,
+            )
         skipped = mag_f < min_batch_skip
         pairs = np.empty((0, 2), dtype=np.int64)
         if collect_pairs:

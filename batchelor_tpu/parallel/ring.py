@@ -155,27 +155,22 @@ def ring_segment_reduce(
     my = lax.axis_index(axis)
     perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
 
+    from ..ops.correction import pair_segment_sums
+
     def step(carry, t):
         lsums, counts = carry
         s = (my - t) % n_devices            # shard this accumulator serves
         lo = s * s2
-        for p in range(l2r.shape[1]):
-            inr = mutual[:, p] & (l2r[:, p] >= lo) & (l2r[:, p] < lo + s2)
-            seg = jnp.where(inr, l2r[:, p] - lo, s2)
-            w = inr.astype(dt)
-            lsums = lsums + jax.ops.segment_sum(
-                l_rows * w[:, None], seg, num_segments=s2 + 1
-            )
-            counts = counts + jax.ops.segment_sum(w, seg, num_segments=s2 + 1)
-        lsums = lax.ppermute(lsums, axis, perm)
-        counts = lax.ppermute(counts, axis, perm)
+        dl, dc = pair_segment_sums(l_rows, l2r, mutual, s2, lo=lo)
+        lsums = lax.ppermute(lsums + dl, axis, perm)
+        counts = lax.ppermute(counts + dc, axis, perm)
         return (lsums, counts), None
 
-    init = (jnp.zeros((s2 + 1, d), dt), jnp.zeros((s2 + 1,), dt))
+    init = (jnp.zeros((s2, d), dt), jnp.zeros((s2,), dt))
     (lsums, counts), _ = lax.scan(
         step, init, jnp.arange(n_devices), length=n_devices
     )
-    return lsums[:s2], counts[:s2]
+    return lsums, counts
 
 
 def ring_weighted_gather(
@@ -196,10 +191,14 @@ def ring_weighted_gather(
     def step(carry, t):
         block, out = carry
         lo = ((my + t) % n_devices) * s2
-        for p in range(kk):
-            inr = (idx[:, p] >= lo) & (idx[:, p] < lo + s2)
-            safe = jnp.clip(idx[:, p] - lo, 0, s2 - 1)
-            out = out + jnp.where(inr, w[:, p], 0.0)[:, None] * block[safe]
+
+        def inner(acc, inp):
+            col, wp = inp                   # (nr,), (nr,)
+            inr = (col >= lo) & (col < lo + s2)
+            safe = jnp.clip(col - lo, 0, s2 - 1)
+            return acc + jnp.where(inr, wp, 0.0)[:, None] * block[safe], None
+
+        out, _ = lax.scan(inner, out, (idx.T, w.T))
         block = lax.ppermute(block, axis, perm)
         return (block, out), None
 

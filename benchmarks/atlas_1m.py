@@ -16,6 +16,11 @@ import numpy as np
 sys.path.insert(0, ".")
 
 import jax
+
+# persistent compile cache: reruns of the same shapes skip XLA entirely
+jax.config.update("jax_compilation_cache_dir", "/tmp/batchelor_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 
 from batchelor_tpu.parallel.driver import distributed_fast_mnn
@@ -44,7 +49,7 @@ def main():
     t0 = time.perf_counter()
     res = distributed_fast_mnn(
         batches, mesh, k=20, knn_method=method, pad_buckets=True,
-        collect_pairs=False,
+        collect_pairs=False, progress=True,
     )
     # force: device-side scalar
     _ = float(jnp.sum(jnp.asarray(res.corrected[:1, :1])))
