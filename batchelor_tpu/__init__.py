@@ -53,8 +53,15 @@ from .correct.experiments import (
     quick_correct,
     apply_multi,
 )
+from .ops.lowrank import LowRankOp
 from .correct.fused import fused_merge_step
-from .correct.outofcore import quick_correct_csr
+from .correct.outofcore import (
+    quick_correct_csr,
+    rescale_batches_csr,
+    regress_batches_csr,
+    mnn_correct_csr,
+    CSRResidualOp,
+)
 from .io.csr import CSRCells, dense_blocks
 from .io.checkpoint import MergeCheckpointer, save_pca_stage, load_pca_stage
 from .utils.batching import (

@@ -101,12 +101,16 @@ def mnn_correct(
     auto_merge: bool = False,
     batch_names: Optional[Sequence[str]] = None,
     knn_method: str = "exact",
+    cell_names=None,
+    gene_names=None,
 ) -> MNNResult:
     """Classic MNN correction (reference mnnCorrect, R/mnnCorrect.R:125-168).
 
     Input: list of (N_b, G) matrices (cells in rows) or a single matrix plus
     ``batch``. Output ``corrected`` is (N_total, G_out) per-gene values in
     input cell order (G_out = subset size unless correct_all).
+    ``cell_names``/``gene_names`` propagate to the result like the
+    reference's .rename_output (R/utils_multibatch.R:3-33).
     """
     single = not isinstance(batches_or_single, (list, tuple))
     if single:
@@ -306,6 +310,20 @@ def mnn_correct(
         new_pairs = reindex_pairings([i.pairs for i in out.merge_info], reo)
         for info, p in zip(out.merge_info, new_pairs):
             info.pairs = p
+    if cell_names is not None:
+        if single:
+            out.cell_names = np.asarray(cell_names, dtype=object)
+        else:
+            from ..utils.batching import generate_cell_names
+
+            out.cell_names = generate_cell_names(
+                cell_names, [b.shape[0] for b in batches]
+            )
+    if gene_names is not None:
+        gn = np.asarray(gene_names, dtype=object)
+        if subset_row is not None and not correct_all:
+            gn = gn[np.asarray(subset_row)]
+        out.gene_names = gn
     return out
 
 

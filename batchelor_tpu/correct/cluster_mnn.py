@@ -126,8 +126,11 @@ class ClusterMNNResult:
     rotation: Optional[jnp.ndarray] = None
     centers: Optional[jnp.ndarray] = None
 
-    def reconstructed(self) -> jnp.ndarray:
-        return self.rotation @ self.corrected.T
+    def reconstructed(self):
+        """Lazy low-rank per-gene values (cf. MNNResult.reconstructed)."""
+        from ..ops.lowrank import LowRankOp
+
+        return LowRankOp(self.rotation, self.corrected)
 
 
 def _compute_centroids(batches, clusters, restrict):

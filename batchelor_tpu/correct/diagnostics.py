@@ -136,8 +136,11 @@ def mnn_delta_variance(
         )
         npairs.append(n)
 
-    # combine across steps, weighting by pair count, steps with >=2 pairs
-    # (reference scran::combineBlocks usage, R/mnnDeltaVariance.R:170-175)
+    # combine across steps, weighting by RAW pair count, steps with >=2
+    # pairs: the reference passes weights=npairs / valid=npairs>=2L
+    # explicitly to scran::combineBlocks (R/mnnDeltaVariance.R:168-173),
+    # overriding combineBlocks' default d.f. weighting — so raw counts ARE
+    # the parity behavior, not a deviation.
     w = np.asarray(npairs, dtype=np.float64)
     valid = w >= 2
     if not valid.any():

@@ -105,43 +105,43 @@ def register_correction(param_cls: Type[BatchelorParams]):
 
 
 @register_correction(FastMNNParams)
-def _run_fast(batches, batch, restrict, subset_row, correct_all, batch_names, p: FastMNNParams):
+def _run_fast(batches, batch, restrict, subset_row, correct_all, batch_names, p: FastMNNParams, **names):
     return fast_mnn(
         batches, batch, restrict=restrict, subset_row=subset_row,
-        correct_all=correct_all, batch_names=batch_names, **asdict(p),
+        correct_all=correct_all, batch_names=batch_names, **names, **asdict(p),
     )
 
 
 @register_correction(ClassicMNNParams)
-def _run_classic(batches, batch, restrict, subset_row, correct_all, batch_names, p: ClassicMNNParams):
+def _run_classic(batches, batch, restrict, subset_row, correct_all, batch_names, p: ClassicMNNParams, **names):
     return mnn_correct(
         batches, batch, restrict=restrict, subset_row=subset_row,
-        correct_all=correct_all, batch_names=batch_names, **asdict(p),
+        correct_all=correct_all, batch_names=batch_names, **names, **asdict(p),
     )
 
 
 @register_correction(RescaleParams)
-def _run_rescale(batches, batch, restrict, subset_row, correct_all, batch_names, p: RescaleParams):
+def _run_rescale(batches, batch, restrict, subset_row, correct_all, batch_names, p: RescaleParams, **names):
     return rescale_batches(
         batches, batch, restrict=restrict, subset_row=subset_row,
-        correct_all=correct_all, batch_names=batch_names, **asdict(p),
+        correct_all=correct_all, batch_names=batch_names, **names, **asdict(p),
     )
 
 
 @register_correction(RegressParams)
-def _run_regress(batches, batch, restrict, subset_row, correct_all, batch_names, p: RegressParams):
+def _run_regress(batches, batch, restrict, subset_row, correct_all, batch_names, p: RegressParams, **names):
     return regress_batches(
         batches, batch, restrict=restrict, subset_row=subset_row,
-        correct_all=correct_all, batch_names=batch_names, **asdict(p),
+        correct_all=correct_all, batch_names=batch_names, **names, **asdict(p),
     )
 
 
 @register_correction(NoCorrectParams)
-def _run_none(batches, batch, restrict, subset_row, correct_all, batch_names, p: NoCorrectParams):
+def _run_none(batches, batch, restrict, subset_row, correct_all, batch_names, p: NoCorrectParams, **names):
     # noCorrect ignores restrict (reference R/batchCorrect.R:89-93)
     return no_correct(
         batches, batch, subset_row=subset_row, correct_all=correct_all,
-        batch_names=batch_names,
+        batch_names=batch_names, **names,
     )
 
 
@@ -154,15 +154,27 @@ def batch_correct(
     correct_all: bool = False,
     batch_names: Optional[Sequence[str]] = None,
     params: BatchelorParams = None,
+    cell_names=None,
+    gene_names=None,
 ):
     """Generic batch-correction entry point dispatching on ``params`` type
-    (reference batchCorrect generic, R/batchCorrect.R:65-98)."""
+    (reference batchCorrect generic, R/batchCorrect.R:65-98).
+
+    ``cell_names``/``gene_names`` (the .rename_output analog) are forwarded
+    as keyword arguments only when given, so registered extension backends
+    with the plain positional signature keep working.
+    """
     if params is None:
         params = FastMNNParams()
+    names = {}
+    if cell_names is not None:
+        names["cell_names"] = cell_names
+    if gene_names is not None:
+        names["gene_names"] = gene_names
     for cls in type(params).__mro__:
         if cls in _REGISTRY:
             return _REGISTRY[cls](
                 batches_or_single, batch, restrict, subset_row, correct_all,
-                batch_names, params,
+                batch_names, params, **names,
             )
     raise TypeError(f"no correction registered for {type(params).__name__}")

@@ -34,6 +34,7 @@ from ..utils.batching import (
     check_restrictions,
     combine_restrict,
     divide_into_batches,
+    generate_cell_names,
     reindex_pairings,
     restore_original_order,
 )
@@ -78,13 +79,25 @@ class MNNResult:
     var_explained: Optional[np.ndarray] = None
     var_total: Optional[float] = None
     batch_names: Optional[list] = None
+    cell_names: Optional[np.ndarray] = None   # per output cell (input order)
+    gene_names: Optional[np.ndarray] = None   # rows of ``rotation``
 
-    def reconstructed(self) -> jnp.ndarray:
-        """Low-rank per-gene corrected values (genes x cells), lazy analog of
-        the reference's LowRankMatrix assay (R/convertPCsToSCE.R:50-72)."""
+    def reconstructed(self, rows=None, cols=None):
+        """Low-rank per-gene corrected values (genes x cells) as a lazy
+        operator (reference LowRankMatrix, R/convertPCsToSCE.R:50-72).
+
+        Returns a :class:`~batchelor_tpu.ops.lowrank.LowRankOp`; index with
+        ``rows``/``cols`` to materialize one block in O(block) memory, or
+        call ``.materialize()`` for the dense matrix.
+        """
         if self.rotation is None:
             raise ValueError("no rotation available (d=None or reduced input)")
-        return self.rotation @ self.corrected.T
+        from ..ops.lowrank import LowRankOp
+
+        op = LowRankOp(self.rotation, self.corrected)
+        if rows is not None or cols is not None:
+            return op.block(rows, cols)
+        return op
 
 
 # --------------------------------------------------------------------------
@@ -226,13 +239,14 @@ def _fast_mnn_core(
         averaged, _second = average_correction(left_data, pairs.first, right_data, pairs.second)
         overall = jnp.mean(averaged, axis=0)
 
+        # batch.size is always reported (reference R/fastMNN.R:484-492 computes
+        # it unconditionally; min.batch.skip only gates the skip decision).
+        mag = float(batch_magnitude(averaged))
+        batch_size[mdx] = mag
         do_correct = True
-        if min_batch_skip is not None:
-            mag = float(batch_magnitude(averaged))
-            batch_size[mdx] = mag
-            if mag < min_batch_skip:
-                do_correct = False
-                skipped[mdx] = True
+        if min_batch_skip is not None and mag < min_batch_skip:
+            do_correct = False
+            skipped[mdx] = True
 
         if do_correct:
             with trace_span("fastmnn/correct", step=mdx):
@@ -385,17 +399,21 @@ def reduced_mnn(
     batch_names: Optional[Sequence[str]] = None,
     checkpoint_dir: Optional[str] = None,
     knn_method: str = "exact",
+    cell_names=None,
 ) -> MNNResult:
     """MNN correction on precomputed low-dimensional coordinates.
 
     Equivalent of reducedMNN (reference R/reducedMNN.R:61-95): either a list
     of (N_b, d) matrices, or a single (N, d) matrix plus a ``batch`` vector.
+    ``cell_names``: per-batch name vectors (list input) or one input-order
+    vector (single input); carried to the output like the reference's
+    .rename_output (R/utils_multibatch.R:3-33).
     """
     if isinstance(batches_or_single, (list, tuple)):
         batches = [jnp.asarray(b) for b in batches_or_single]
         check_batch_consistency(batches, cells_in_rows=True)
         restrict = check_restrictions(batches, restrict, cells_in_rows=True)
-        return _fast_mnn_core(
+        out = _fast_mnn_core(
             batches,
             restrict,
             k=k,
@@ -408,6 +426,11 @@ def reduced_mnn(
             checkpoint_dir=checkpoint_dir,
             knn_method=knn_method,
         )
+        if cell_names is not None:
+            out.cell_names = generate_cell_names(
+                cell_names, [b.shape[0] for b in batches]
+            )
+        return out
 
     x = jnp.asarray(batches_or_single)
     divided = divide_into_batches(
@@ -433,6 +456,9 @@ def reduced_mnn(
     new_pairs = reindex_pairings([i.pairs for i in out.merge_info], reo)
     for info, p in zip(out.merge_info, new_pairs):
         info.pairs = p
+    if cell_names is not None:
+        # single input: output is input cell order, names pass through
+        out.cell_names = np.asarray(cell_names, dtype=object)
     return out
 
 
@@ -457,11 +483,17 @@ def fast_mnn(
     batch_names: Optional[Sequence[str]] = None,
     checkpoint_dir: Optional[str] = None,
     knn_method: str = "exact",
+    cell_names=None,
+    gene_names=None,
 ) -> MNNResult:
     """Fast MNN batch correction (reference fastMNN, R/fastMNN.R:283-331).
 
     Accepts a list of (N_b, G) matrices (cells in rows) or a single matrix
     plus ``batch``. Output cells are always in input order.
+    ``cell_names``/``gene_names`` are carried onto the result like the
+    reference's .rename_output (R/utils_multibatch.R:3-33); gene names
+    follow the rotation rows (subset by ``subset_row`` unless
+    ``correct_all``).
     """
     single = not isinstance(batches_or_single, (list, tuple))
     if single:
@@ -523,4 +555,16 @@ def fast_mnn(
     out.centers = pca.centers
     out.var_explained = pca.var_explained
     out.var_total = pca.var_total
+    if cell_names is not None:
+        if single:
+            out.cell_names = np.asarray(cell_names, dtype=object)
+        else:
+            out.cell_names = generate_cell_names(
+                cell_names, [b.shape[0] for b in batches]
+            )
+    if gene_names is not None:
+        gn = np.asarray(gene_names, dtype=object)
+        if subset_row is not None and not correct_all:
+            gn = gn[np.asarray(subset_row)]
+        out.gene_names = gn
     return out

@@ -29,6 +29,29 @@ class LinearCorrectionResult:
     batch: np.ndarray               # per-cell batch label
     corrected_pcs: Optional[jnp.ndarray] = None  # regress_batches with d set
     residual_op: Optional[ResidualOp] = None
+    cell_names: Optional[np.ndarray] = None      # per output cell
+    gene_names: Optional[np.ndarray] = None      # per output gene
+
+
+def _output_names(cell_names, gene_names, batches, reorder, subset_row, correct_all):
+    """Resolve output dimnames (reference .rename_output,
+    R/utils_multibatch.R:3-33): cell names concatenate per batch (single
+    input passes through, since output is input order); gene names follow
+    the output gene subset."""
+    from ..utils.batching import generate_cell_names
+
+    cn = None
+    if cell_names is not None:
+        if reorder is not None:  # single-matrix input: names in input order
+            cn = np.asarray(cell_names, dtype=object)
+        else:
+            cn = generate_cell_names(cell_names, [b.shape[0] for b in batches])
+    gn = None
+    if gene_names is not None:
+        gn = np.asarray(gene_names, dtype=object)
+        if subset_row is not None and not correct_all:
+            gn = gn[np.asarray(subset_row)]
+    return cn, gn
 
 
 def _normalize_inputs(batches_or_single, batch, restrict, batch_names):
@@ -73,6 +96,8 @@ def rescale_batches(
     subset_row: Optional[np.ndarray] = None,
     correct_all: bool = False,
     batch_names: Optional[Sequence[str]] = None,
+    cell_names=None,
+    gene_names=None,
 ) -> LinearCorrectionResult:
     """Scale each gene so every batch matches the lowest per-batch average,
     in count space (reference .rescale_batches, R/rescaleBatches.R:102-148).
@@ -115,7 +140,12 @@ def rescale_batches(
     if reorder is not None:
         out = out[jnp.asarray(reorder)]
         labels = labels[reorder]
-    return LinearCorrectionResult(corrected=out, batch=labels)
+    cn, gn = _output_names(
+        cell_names, gene_names, batches, reorder, subset_row, correct_all
+    )
+    return LinearCorrectionResult(
+        corrected=out, batch=labels, cell_names=cn, gene_names=gn
+    )
 
 
 def regress_batches(
@@ -129,6 +159,8 @@ def regress_batches(
     correct_all: bool = False,
     d: Optional[int] = None,
     batch_names: Optional[Sequence[str]] = None,
+    cell_names=None,
+    gene_names=None,
 ) -> LinearCorrectionResult:
     """Linear-model residual correction (reference regressBatches,
     R/regressBatches.R:93-158). The residual operator is kept factored
@@ -136,6 +168,9 @@ def regress_batches(
     multi_batch_pca runs on the residuals."""
     batches, restrict, batch_names, reorder = _normalize_inputs(
         batches_or_single, batch, restrict, batch_names
+    )
+    cn, gn = _output_names(
+        cell_names, gene_names, batches, reorder, subset_row, correct_all
     )
     sizes = [b.shape[0] for b in batches]
     combined = jnp.concatenate(batches, axis=0)
@@ -185,7 +220,8 @@ def regress_batches(
         if pcs is not None:
             pcs = pcs[jnp.asarray(reorder)]
     return LinearCorrectionResult(
-        corrected=corrected, batch=labels, corrected_pcs=pcs, residual_op=op
+        corrected=corrected, batch=labels, corrected_pcs=pcs, residual_op=op,
+        cell_names=cn, gene_names=gn,
     )
 
 
@@ -196,10 +232,15 @@ def no_correct(
     subset_row: Optional[np.ndarray] = None,
     correct_all: bool = False,
     batch_names: Optional[Sequence[str]] = None,
+    cell_names=None,
+    gene_names=None,
 ) -> LinearCorrectionResult:
     """cbind-only negative control (reference noCorrect, R/noCorrect.R:45-76)."""
     batches, _, batch_names, reorder = _normalize_inputs(
         batches_or_single, batch, None, batch_names
+    )
+    cn, gn = _output_names(
+        cell_names, gene_names, batches, reorder, subset_row, correct_all
     )
     if subset_row is not None and not correct_all:
         s = jnp.asarray(np.asarray(subset_row))
@@ -209,4 +250,6 @@ def no_correct(
     if reorder is not None:
         out = out[jnp.asarray(reorder)]
         labels = labels[reorder]
-    return LinearCorrectionResult(corrected=out, batch=labels)
+    return LinearCorrectionResult(
+        corrected=out, batch=labels, cell_names=cn, gene_names=gn
+    )

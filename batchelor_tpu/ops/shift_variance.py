@@ -61,7 +61,13 @@ def _adjust(
         src/adjust_shift_variance.cpp:51-161) but memory stays O(chunk N)."""
         gch, d2ch, sq2ch, l2ch, rows = args            # (C, G) ... (C,)
         P2 = gch @ d2.T                                # (C, N2)
-        curproj = jnp.sum(gch * d2ch, axis=1)          # (C,)
+        # own projection read from the SAME matmul row: duplicated cells then
+        # compare bitwise-equal to their twins, reproducing the C++'s exact
+        # `sameproj > curproj` tie behavior (inner_product on identical data)
+        # — an elementwise dot here differs by ~1 ulp and flips the tie.
+        curproj = jnp.take_along_axis(
+            P2, jnp.clip(rows, 0, n2 - 1)[:, None], axis=1
+        )[:, 0]                                        # (C,)
         G22 = d2ch @ d2.T
         diff_par = curproj[:, None] - P2
         dist2 = sq2ch[:, None] + sq2[None, :] - 2.0 * G22 - jnp.square(diff_par)

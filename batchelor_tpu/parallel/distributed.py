@@ -178,12 +178,11 @@ def distributed_merge_step(
 # Distributed multi-batch PCA: per-shard Gram accumulation + replicated eigh.
 
 
-def _pca_local(xs_shards, masks, weights, d: int):
-    """Per-device body: weighted grand-mean centering, Gram psum, eigh."""
+def _weighted_stats(xs_shards, masks, weights):
+    """(centers, counts): weighted grand mean of per-batch means
+    (reference R/multiBatchPCA.R:270-282) via psum'd masked sums."""
     dt = xs_shards[0].dtype
-    nb = len(xs_shards)
-    means = []
-    counts = []
+    means, counts = [], []
     for x, m in zip(xs_shards, masks):
         s = _psum(jnp.sum(jnp.where(m[:, None], x, 0.0), axis=0))
         c = _psum(jnp.sum(m.astype(dt)))
@@ -191,62 +190,238 @@ def _pca_local(xs_shards, masks, weights, d: int):
         counts.append(c)
     wsum = sum(weights)
     centers = sum(mu * w for mu, w in zip(means, weights)) / wsum
+    return centers, counts
 
-    gram = jnp.zeros((xs_shards[0].shape[1], xs_shards[0].shape[1]), dt)
+
+def _weighted_gram(xs_shards, masks, weights, counts, centers):
+    """G x G cross-product of the scaled centered concat: each batch's
+    contribution is divided by N_b / w_b (reference R/multiBatchPCA.R:293-318)."""
+    g = xs_shards[0].shape[1]
+    gram = jnp.zeros((g, g), xs_shards[0].dtype)
     for x, m, w, c in zip(xs_shards, masks, weights, counts):
         xc = jnp.where(m[:, None], x - centers[None, :], 0.0)
         gram = gram + (xc.T @ xc) * (w / c)
-    gram = _psum(gram)
+    return _psum(gram)
+
+
+def _pca_local(xs_shards, masks, left_shards, weights, d: int,
+               get_variance: bool, nb: int):
+    """Per-device body: weighted grand-mean centering, Gram psum, eigh,
+    plus (optionally) the leftover-gene rotation rows via a cross-Gram
+    (the distributed form of R/multiBatchPCA.R:396-414: with
+    u = scaled @ v / s, leftover_u = left_scaled^T u / s
+    = (left_scaled^T scaled) v / s^2) and variance metadata
+    (R/multiBatchPCA.R:422-432)."""
+    dt = xs_shards[0].dtype
+    centers, counts = _weighted_stats(xs_shards, masks, weights)
+    gram = _weighted_gram(xs_shards, masks, weights, counts, centers)
 
     evals, evecs = jnp.linalg.eigh(gram)
     v = evecs[:, ::-1][:, :d]
-    s = jnp.sqrt(jnp.maximum(evals[::-1][:d], 0.0))
+    ev = jnp.maximum(evals[::-1][:d], 0.0)
+    s = jnp.sqrt(ev)
 
     comps = [
         jnp.where(m[:, None], x - centers[None, :], 0.0) @ v
         for x, m in zip(xs_shards, masks)
     ]
-    return (*comps, v, s, centers)
+
+    outs = [*comps, v, s, centers]
+
+    if left_shards is not None:
+        left_centers, _ = _weighted_stats(left_shards, masks, weights)
+        gl = left_shards[0].shape[1]
+        cross = jnp.zeros((gl, xs_shards[0].shape[1]), dt)
+        for lx, x, m, w, c in zip(left_shards, xs_shards, masks, weights, counts):
+            lc = jnp.where(m[:, None], lx - left_centers[None, :], 0.0)
+            xc = jnp.where(m[:, None], x - centers[None, :], 0.0)
+            cross = cross + (lc.T @ xc) * (w / c)
+        cross = _psum(cross)
+        safe = jnp.maximum(ev, jnp.finfo(dt).tiny)
+        leftover_u = (cross @ v) / safe[None, :]
+        outs += [leftover_u, left_centers]
+
+    if get_variance:
+        # var_explained = s^2 / nbatches; var_total = ||scaled||^2 / nbatches
+        # (reference R/multiBatchPCA.R:422-432, VERDICT-verified d^2/nbatches)
+        total = jnp.zeros((), dt)
+        for x, m, w, c in zip(xs_shards, masks, weights, counts):
+            xc = jnp.where(m[:, None], x - centers[None, :], 0.0)
+            total = total + jnp.sum(jnp.square(xc)) * (w / c)
+        total = _psum(total)
+        outs += [ev / nb, total / nb]
+
+    return tuple(outs)
+
+
+def _passthrough_local(xs_shards, masks, weights, get_variance: bool):
+    """d=None passthrough: centered matrices only (reference
+    R/multiBatchPCA.R:245-255); variance computed on the scaled concat."""
+    dt = xs_shards[0].dtype
+    centers, counts = _weighted_stats(xs_shards, masks, weights)
+    comps = [
+        jnp.where(m[:, None], x - centers[None, :], 0.0)
+        for x, m in zip(xs_shards, masks)
+    ]
+    outs = list(comps)
+    if get_variance:
+        # per-gene variance of the scaled concat rows (host path computes
+        # var over scaled with its own mean, n-1 denominator)
+        n_tot = jnp.zeros((), dt)
+        ssum = jnp.zeros((xs_shards[0].shape[1],), dt)
+        for x, m, w, c in zip(xs_shards, masks, weights, counts):
+            sc = 1.0 / jnp.sqrt(c / w)
+            xc = jnp.where(m[:, None], x - centers[None, :], 0.0) * sc
+            ssum = ssum + _psum(jnp.sum(xc, axis=0))
+            n_tot = n_tot + c
+        mu = ssum / n_tot
+        sq = jnp.zeros((xs_shards[0].shape[1],), dt)
+        for x, m, w, c in zip(xs_shards, masks, weights, counts):
+            sc = 1.0 / jnp.sqrt(c / w)
+            xc = (jnp.where(m[:, None], x - centers[None, :], 0.0)) * sc
+            dev = jnp.where(m[:, None], xc - mu[None, :], 0.0)
+            sq = sq + _psum(jnp.sum(jnp.square(dev), axis=0))
+        outs += [sq / (n_tot - 1.0)]
+    return tuple(outs)
 
 
 def distributed_multi_batch_pca(
     batches,
     mesh: Mesh,
-    d: int = 50,
+    d: Optional[int] = 50,
     weights=None,
+    *,
+    subset_row=None,
+    get_all_genes: bool = False,
+    get_variance: bool = False,
+    batch_names=None,
 ):
-    """Weighted multi-batch PCA with cells sharded over the mesh.
+    """Weighted multi-batch PCA with cells sharded over the mesh — full
+    option parity with ops.pca.multi_batch_pca (weight vectors/trees,
+    subset_row, get_all_genes extrapolation, get_variance, d=None).
 
     The G x G weighted cross-product is accumulated per shard and psummed;
     the eigendecomposition runs replicated on every device
-    (SURVEY.md §2.2 "Truncated SVD" replacement). Returns
-    (components list, rotation, centers, singular values).
+    (SURVEY.md §2.2 "Truncated SVD" replacement). Returns a
+    MultiBatchPCAResult like the host implementation.
     """
+    from ..ops.pca import MultiBatchPCAResult, construct_weight_vector
+
     ndev = mesh.devices.size
     batches = [jnp.asarray(b) for b in batches]
     nb = len(batches)
-    if weights is None:
-        weights = [1.0] * nb
+    w = construct_weight_vector(
+        [b.shape[0] for b in batches], weights, batch_names
+    )
+    weights_f = tuple(float(x) for x in w)
+
+    g_all = batches[0].shape[1]
+    if subset_row is not None:
+        subset_row = np.asarray(subset_row)
+        sub = [b[:, jnp.asarray(subset_row)] for b in batches]
+    else:
+        sub = list(batches)
+
+    leftover_idx = None
+    lefts = None
+    if get_all_genes and subset_row is not None and d is not None:
+        keep = np.zeros(g_all, dtype=bool)
+        keep[subset_row] = True
+        leftover_idx = np.nonzero(~keep)[0]
+        lefts = [b[:, jnp.asarray(leftover_idx)] for b in batches]
+
     padded, ns, masks = [], [], []
-    for b in batches:
+    for b in sub:
         p, n = pad_to_multiple(b, ndev)
         padded.append(p)
         ns.append(n)
         masks.append(jnp.arange(p.shape[0]) < n)
+    lpadded = None
+    if lefts is not None:
+        lpadded = [pad_to_multiple(b, ndev)[0] for b in lefts]
 
-    in_specs = tuple([P(CELLS_AXIS, None)] * nb + [P(CELLS_AXIS)] * nb)
-    out_specs = tuple([P(CELLS_AXIS, None)] * nb + [P(), P(), P()])
+    shardng = cells_sharding(mesh)
+    batch_names_l = list(batch_names) if batch_names is not None else None
+
+    if d is None:
+        in_specs = tuple([P(CELLS_AXIS, None)] * nb + [P(CELLS_AXIS)] * nb)
+        out_specs = tuple(
+            [P(CELLS_AXIS, None)] * nb + ([P()] if get_variance else [])
+        )
+
+        def body(*args):
+            return _passthrough_local(
+                list(args[:nb]), list(args[nb:]), weights_f, get_variance
+            )
+
+        fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+        out = jax.jit(fn)(*[jax.device_put(p, shardng) for p in padded], *masks)
+        comps = [c[:n] for c, n in zip(out[:nb], ns)]
+        g_sub = sub[0].shape[1]
+        if get_all_genes and subset_row is not None:
+            rotation = jnp.zeros((g_all, g_sub), padded[0].dtype)
+            rotation = rotation.at[
+                jnp.asarray(subset_row), jnp.arange(g_sub)
+            ].set(1.0)
+            out_centers = jnp.zeros((g_all,), padded[0].dtype)
+        else:
+            rotation = jnp.eye(g_sub, dtype=padded[0].dtype)
+            out_centers = jnp.zeros((g_sub,), padded[0].dtype)
+        res = MultiBatchPCAResult(
+            components=comps, rotation=rotation, centers=out_centers,
+            batch_names=batch_names_l,
+        )
+        if get_variance:
+            var = np.asarray(out[nb])
+            res.var_explained = var
+            res.var_total = float(var.sum())
+        return res
+
+    sum_n = sum(ns)
+    d_eff = int(min(d, sum_n, sub[0].shape[1]))
+    nl = len(lpadded) if lpadded is not None else 0
+    in_specs = tuple(
+        [P(CELLS_AXIS, None)] * nb + [P(CELLS_AXIS)] * nb
+        + [P(CELLS_AXIS, None)] * nl
+    )
+    extra = ([P(), P()] if lpadded is not None else []) + (
+        [P(), P()] if get_variance else []
+    )
+    out_specs = tuple([P(CELLS_AXIS, None)] * nb + [P(), P(), P()] + extra)
 
     def body(*args):
         xs = list(args[:nb])
-        ms = list(args[nb:])
-        return _pca_local(xs, ms, weights, d)
+        ms = list(args[nb : 2 * nb])
+        ls = list(args[2 * nb :]) if nl else None
+        return _pca_local(xs, ms, ls, weights_f, d_eff, get_variance, nb)
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_vma=False)
-    shardng = cells_sharding(mesh)
-    padded = [jax.device_put(p, shardng) for p in padded]
-    out = jax.jit(fn)(*padded, *masks)
+    args = [jax.device_put(p, shardng) for p in padded] + list(masks)
+    if lpadded is not None:
+        args += [jax.device_put(p, shardng) for p in lpadded]
+    out = jax.jit(fn)(*args)
     comps = [c[:n] for c, n in zip(out[:nb], ns)]
     v, s, centers = out[nb], out[nb + 1], out[nb + 2]
-    return comps, v, centers, s
+    pos = nb + 3
+    if lpadded is not None:
+        leftover_u, left_centers = out[pos], out[pos + 1]
+        pos += 2
+        rotation = jnp.zeros((g_all, d_eff), v.dtype)
+        rotation = rotation.at[jnp.asarray(subset_row)].set(v)
+        rotation = rotation.at[jnp.asarray(leftover_idx)].set(leftover_u)
+        all_centers = jnp.zeros((g_all,), v.dtype)
+        all_centers = all_centers.at[jnp.asarray(subset_row)].set(centers)
+        all_centers = all_centers.at[jnp.asarray(leftover_idx)].set(left_centers)
+    else:
+        rotation = v
+        all_centers = centers
+    res = MultiBatchPCAResult(
+        components=comps, rotation=rotation, centers=all_centers,
+        batch_names=batch_names_l,
+    )
+    if get_variance:
+        res.var_explained = np.asarray(out[pos])
+        res.var_total = float(out[pos + 1])
+    return res

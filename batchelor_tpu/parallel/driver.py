@@ -6,8 +6,11 @@ all-gathers of the opposing set over ICI, psum reductions for means/
 variances/segment averages, replicated small state. Restriction masks and
 orthogonalization replay (extras) are carried as device arrays.
 
-This is the scale-out path for BASELINE configs 4/5 (1M/10M cells); the
-host path in correct/fast_mnn.py remains the reference-parity engine.
+This is the scale-out path for BASELINE configs 4/5 (1M/10M cells); it has
+full engine parity with the host path: lost-variance diagnostics
+(reference R/fastMNN.R:500-501 computes lost.var unconditionally),
+auto-merge ordering (R/MNN_tree.R:154-226), and per-merge-step
+checkpoint/resume.
 """
 from __future__ import annotations
 
@@ -22,12 +25,12 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..correct.fast_mnn import MergeStepInfo, MNNResult
+from ..correct.fast_mnn import MergeStepInfo, MNNResult, _pick_best_merge
 from ..ops.correction import pair_segment_sums
 from ..ops.knn import query_knn
 from ..ops.mutual_nn import choose_k, membership_rows
 from ..utils.batching import reindex_pairings, restore_original_order
-from ..utils.trees import binarize_tree
+from ..utils.trees import MergeNode, binarize_tree
 from .mesh import CELLS_AXIS, cells_sharding, pad_to_multiple
 from .ring import (
     ring_membership,
@@ -39,45 +42,6 @@ from .ring import (
 shard_map = jax.shard_map
 
 __all__ = ["distributed_fast_mnn"]
-
-
-@functools.lru_cache(maxsize=64)
-def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
-                 min_batch_skip: float, knn_method: str, memory: str):
-    """One compiled step per (mesh, k, ...) combo: reusing the jitted
-    callable lets XLA's jit cache hit across merge steps with equal
-    shapes (a fresh closure per step would never cache)."""
-    spec_data = P(CELLS_AXIS, None)
-    spec_mask = P(CELLS_AXIS)
-    if memory == "gather":
-        body = functools.partial(
-            _step_local,
-            k1=k1, k2=k2, tricube_k=tricube_k, ndist=ndist,
-            min_batch_skip=min_batch_skip, knn_method=knn_method,
-        )
-    elif memory == "ring":
-        body = functools.partial(
-            _step_local_ring,
-            k1=k1, k2=k2, tricube_k=tricube_k, ndist=ndist,
-            min_batch_skip=min_batch_skip, knn_method=knn_method,
-            ndev=int(mesh.devices.size),
-        )
-    else:
-        raise ValueError(f"unknown memory mode {memory!r}")
-    fn = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(
-            spec_data, spec_data, spec_mask, spec_mask, spec_mask, spec_mask,
-            P(), P(),
-        ),
-        out_specs=(
-            spec_data, spec_data, P(), P(), P(),
-            P(CELLS_AXIS, None), P(CELLS_AXIS, None),
-        ),
-        check_vma=False,
-    )
-    return jax.jit(fn)
 
 
 def _psum(x):
@@ -106,34 +70,164 @@ def _replay_extras(shard, stat_mask, extras, dt):
     return shard
 
 
-def _step_local(
-    lshard, rshard, lvalid, rvalid, lres, rres, lextras, rextras,
-    k1: int, k2: int, tricube_k: int, ndist: float, min_batch_skip: float,
-    knn_method: str = "exact",
-):
-    """Per-device body of one merge step (cf. fused.fused_merge_step)."""
-    dt = lshard.dtype
-    d = lshard.shape[1]
+def _perbatch_var_shard(shard, origin, valid, nb: int):
+    """Sum of per-dimension sample variances per global batch id, psum'd
+    over the mesh (the SPMD form of ops.correction.per_batch_var, reference
+    .compute_perbatch_var R/fastMNN.R:651-658). Two-pass (mean, then squared
+    deviations) for accuracy. Pad rows must carry origin in [0, nb)."""
+    dt = shard.dtype
+    w = valid.astype(dt)
+    cnt = _psum(jax.ops.segment_sum(w, origin, num_segments=nb))
+    sums = _psum(
+        jax.ops.segment_sum(shard * w[:, None], origin, num_segments=nb)
+    )
+    mu = sums / jnp.maximum(cnt, 1.0)[:, None]
+    dev = shard - mu[origin]
+    sq = _psum(
+        jax.ops.segment_sum(
+            jnp.sum(jnp.square(dev), axis=1) * w, origin, num_segments=nb
+        )
+    )
+    return jnp.where(cnt >= 2, sq / jnp.maximum(cnt - 1.0, 1.0), 0.0)
+
+
+def _mutual_mask_gather(lshard, rshard, lvalid, rvalid, lres, rres,
+                        k1, k2, knn_method):
+    """MNN membership mask via all-gathered opposing sets. Returns
+    (mutual, l2r, full_right, full_left)."""
     my = lax.axis_index(CELLS_AXIS)
     nsl = lshard.shape[0]
-
-    # orthogonalization replay: extras are padded to a fixed count with
-    # zero rows so the compiled step is reusable across merge steps.
-    rshard = _replay_extras(rshard, rres & rvalid, lextras, dt)
-    lshard = _replay_extras(lshard, lres & lvalid, rextras, dt)
-
     full_right = lax.all_gather(rshard, CELLS_AXIS, tiled=True)
     full_left = lax.all_gather(lshard, CELLS_AXIS, tiled=True)
     frv = lax.all_gather(rvalid & rres, CELLS_AXIS, tiled=True)
     flv = lax.all_gather(lvalid & lres, CELLS_AXIS, tiled=True)
-    n2 = full_right.shape[0]
-
     l2r, _ = query_knn(lshard, full_right, k2, data_mask=frv, method=knn_method)
     r2l, _ = query_knn(rshard, full_left, k1, data_mask=flv, method=knn_method)
     r2l_full = lax.all_gather(r2l, CELLS_AXIS, tiled=True)
     my_ids = my * nsl + jnp.arange(nsl, dtype=l2r.dtype)
     mutual = membership_rows(l2r, r2l_full, my_ids)
     mutual = mutual & (lres & lvalid)[:, None]
+    return mutual, l2r, full_right, full_left
+
+
+def _mutual_mask_ring(lshard, rshard, lvalid, rvalid, lres, rres,
+                      k1, k2, knn_method, ndev):
+    """MNN membership mask with constant per-device memory (ring rotation).
+    Returns (mutual, l2r)."""
+    my = lax.axis_index(CELLS_AXIS)
+    nsl = lshard.shape[0]
+    s2 = rshard.shape[0]
+    l2r, _ = ring_query_knn_local(
+        lshard, rshard, rvalid & rres, k2, ndev, method=knn_method)
+    r2l, _ = ring_query_knn_local(
+        rshard, lshard, lvalid & lres, k1, ndev, method=knn_method)
+    my_ids = my * nsl + jnp.arange(nsl, dtype=l2r.dtype)
+    mutual = ring_membership(l2r, r2l, my_ids, s2, ndev)
+    mutual = mutual & (lres & lvalid)[:, None]
+    return mutual, l2r
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
+                 min_batch_skip: float, knn_method: str, memory: str, nb: int):
+    """One compiled step per (mesh, k, ...) combo: reusing the jitted
+    callable lets XLA's jit cache hit across merge steps with equal
+    shapes (a fresh closure per step would never cache)."""
+    spec_data = P(CELLS_AXIS, None)
+    spec_mask = P(CELLS_AXIS)
+    if memory == "gather":
+        body = functools.partial(
+            _step_local,
+            k1=k1, k2=k2, tricube_k=tricube_k, ndist=ndist,
+            min_batch_skip=min_batch_skip, knn_method=knn_method, nb=nb,
+        )
+    elif memory == "ring":
+        body = functools.partial(
+            _step_local_ring,
+            k1=k1, k2=k2, tricube_k=tricube_k, ndist=ndist,
+            min_batch_skip=min_batch_skip, knn_method=knn_method, nb=nb,
+            ndev=int(mesh.devices.size),
+        )
+    else:
+        raise ValueError(f"unknown memory mode {memory!r}")
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            spec_data, spec_data, spec_mask, spec_mask, spec_mask, spec_mask,
+            spec_mask, spec_mask, P(), P(),
+        ),
+        out_specs=(
+            spec_data, spec_data, P(), P(), P(),
+            P(CELLS_AXIS, None), P(CELLS_AXIS, None), P(), P(),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_count(mesh: Mesh, k1: int, k2: int, knn_method: str, memory: str):
+    """Compiled MNN pair counter for auto-merge search (the SPMD analog of
+    .count_mnn_pairs, reference R/MNN_tree.R:160-167), with
+    orthogonalization replay like .initialize_auto_search."""
+    spec_data = P(CELLS_AXIS, None)
+    spec_mask = P(CELLS_AXIS)
+    ndev = int(mesh.devices.size)
+
+    def body(lshard, rshard, lvalid, rvalid, lres, rres, lextras, rextras):
+        dt = lshard.dtype
+        rshard = _replay_extras(rshard, rres & rvalid, lextras, dt)
+        lshard = _replay_extras(lshard, lres & lvalid, rextras, dt)
+        if memory == "gather":
+            mutual, _, _, _ = _mutual_mask_gather(
+                lshard, rshard, lvalid, rvalid, lres, rres, k1, k2, knn_method
+            )
+        else:
+            mutual, _ = _mutual_mask_ring(
+                lshard, rshard, lvalid, rvalid, lres, rres, k1, k2,
+                knn_method, ndev,
+            )
+        return _psum(jnp.sum(mutual))
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            spec_data, spec_data, spec_mask, spec_mask, spec_mask, spec_mask,
+            P(), P(),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _step_local(
+    lshard, rshard, lvalid, rvalid, lres, rres, lorigin, rorigin,
+    lextras, rextras,
+    k1: int, k2: int, tricube_k: int, ndist: float, min_batch_skip: float,
+    knn_method: str = "exact", nb: int = 2,
+):
+    """Per-device body of one merge step (cf. fused.fused_merge_step)."""
+    dt = lshard.dtype
+
+    # pre-merge per-batch variance, before replay (host-engine order:
+    # per_batch_var precedes orthogonalize_other, reference R/fastMNN.R:467)
+    var_old = (
+        _perbatch_var_shard(lshard, lorigin, lvalid, nb)
+        + _perbatch_var_shard(rshard, rorigin, rvalid, nb)
+    )
+
+    # orthogonalization replay: extras are padded to a fixed count with
+    # zero rows so the compiled step is reusable across merge steps.
+    rshard = _replay_extras(rshard, rres & rvalid, lextras, dt)
+    lshard = _replay_extras(lshard, lres & lvalid, rextras, dt)
+
+    mutual, l2r, full_right, full_left = _mutual_mask_gather(
+        lshard, rshard, lvalid, rvalid, lres, rres, k1, k2, knn_method
+    )
+    n2 = full_right.shape[0]
     n_pairs = _psum(jnp.sum(mutual))
 
     def averaged(l_rows, right_full):
@@ -163,6 +257,12 @@ def _step_local(
     lshard_c = jnp.where(do_correct, lshard_c, lshard)
     rshard_c = jnp.where(do_correct, rshard_c, rshard)
 
+    # post-centering per-batch variance -> lost.var (R/fastMNN.R:500-501)
+    var_new = (
+        _perbatch_var_shard(lshard_c, lorigin, lvalid, nb)
+        + _perbatch_var_shard(rshard_c, rorigin, rvalid, nb)
+    )
+
     loc_fr = full_right @ v
     full_right_c = jnp.where(
         do_correct, full_right + jnp.outer(mean_r - loc_fr, v), full_right
@@ -183,13 +283,15 @@ def _step_local(
     correction = jnp.einsum("nk,nkd->nd", w, avg2[idx])
     right_out = jnp.where(do_correct, rshard_c + correction, rshard_c)
 
-    return lshard_c, right_out, overall, magnitude, n_pairs, mutual, l2r
+    return (lshard_c, right_out, overall, magnitude, n_pairs, mutual, l2r,
+            var_old, var_new)
 
 
 def _step_local_ring(
-    lshard, rshard, lvalid, rvalid, lres, rres, lextras, rextras,
+    lshard, rshard, lvalid, rvalid, lres, rres, lorigin, rorigin,
+    lextras, rextras,
     k1: int, k2: int, tricube_k: int, ndist: float, min_batch_skip: float,
-    knn_method: str = "exact", ndev: int = 1,
+    knn_method: str = "exact", nb: int = 2, ndev: int = 1,
 ):
     """Constant-memory merge step: no array of global length is ever
     materialized per device. The opposing batch rotates around the ring for
@@ -205,22 +307,19 @@ def _step_local_ring(
     kNN tie-breaking on equal distances.
     """
     dt = lshard.dtype
-    d = lshard.shape[1]
-    my = lax.axis_index(CELLS_AXIS)
-    nsl = lshard.shape[0]
     s2 = rshard.shape[0]
+
+    var_old = (
+        _perbatch_var_shard(lshard, lorigin, lvalid, nb)
+        + _perbatch_var_shard(rshard, rorigin, rvalid, nb)
+    )
 
     rshard = _replay_extras(rshard, rres & rvalid, lextras, dt)
     lshard = _replay_extras(lshard, lres & lvalid, rextras, dt)
 
-    l2r, _ = ring_query_knn_local(
-        lshard, rshard, rvalid & rres, k2, ndev, method=knn_method)
-    r2l, _ = ring_query_knn_local(
-        rshard, lshard, lvalid & lres, k1, ndev, method=knn_method)
-
-    my_ids = my * nsl + jnp.arange(nsl, dtype=l2r.dtype)
-    mutual = ring_membership(l2r, r2l, my_ids, s2, ndev)
-    mutual = mutual & (lres & lvalid)[:, None]
+    mutual, l2r = _mutual_mask_ring(
+        lshard, rshard, lvalid, rvalid, lres, rres, k1, k2, knn_method, ndev
+    )
     n_pairs = _psum(jnp.sum(mutual))
 
     def averaged(l_rows, r_rows):
@@ -246,6 +345,11 @@ def _step_local_ring(
     lshard_c = jnp.where(do_correct, lshard_c, lshard)
     rshard_c = jnp.where(do_correct, rshard_c, rshard)
 
+    var_new = (
+        _perbatch_var_shard(lshard_c, lorigin, lvalid, nb)
+        + _perbatch_var_shard(rshard_c, rorigin, rvalid, nb)
+    )
+
     avg2, _ = averaged(lshard_c, rshard_c)
 
     idx, dist = ring_query_knn_local(
@@ -259,7 +363,8 @@ def _step_local_ring(
     correction = ring_weighted_gather(idx, w, avg2, s2, ndev)
     right_out = jnp.where(do_correct, rshard_c + correction, rshard_c)
 
-    return lshard_c, right_out, overall, magnitude, n_pairs, mutual, l2r
+    return (lshard_c, right_out, overall, magnitude, n_pairs, mutual, l2r,
+            var_old, var_new)
 
 
 @dataclass
@@ -269,6 +374,7 @@ class _DevBatch:
     data: jnp.ndarray          # (N_pad, d) sharded
     valid: jnp.ndarray         # (N_pad,) sharded padding mask
     res: jnp.ndarray           # (N_pad,) sharded restriction mask
+    origin_dev: jnp.ndarray    # (N_pad,) sharded global batch id (pad -> 0)
     n: int                     # valid cells
     origin: np.ndarray         # (n,) batch id per valid cell
     index: list
@@ -287,12 +393,16 @@ def _make_dev_batch(mesh, x, i, restrict):
         res = jnp.asarray(m)
     sh = cells_sharding(mesh)
     msk = NamedSharding(mesh, P(CELLS_AXIS))
+    origin = np.full(n, i, dtype=np.int64)
+    odev = np.zeros(xpad.shape[0], dtype=np.int32)
+    odev[:n] = i
     return _DevBatch(
         data=jax.device_put(xpad, sh),
         valid=jax.device_put(valid, msk),
         res=jax.device_put(res, msk),
+        origin_dev=jax.device_put(jnp.asarray(odev), msk),
         n=n,
-        origin=np.full(n, i, dtype=np.int64),
+        origin=origin,
         index=[i],
         extras=[],
     )
@@ -360,35 +470,110 @@ def _bucket_size(n: int, ndev: int, buckets: bool) -> int:
         target *= 10
 
 
+def _repad_dev(mesh, data, res_mask, origin, index, extras, buckets: bool):
+    """Build a _DevBatch from compact host/device state (valid rows only),
+    padded to the (bucketed) device-multiple target."""
+    sh = cells_sharding(mesh)
+    msk = NamedSharding(mesh, P(CELLS_AXIS))
+    n = data.shape[0]
+    ndev = mesh.devices.size
+    pad_to = _bucket_size(n, ndev, buckets)
+    if pad_to != n:
+        extra = pad_to - n
+        data = jnp.concatenate([data, jnp.zeros((extra, data.shape[1]), data.dtype)])
+        res_mask = np.concatenate([np.asarray(res_mask), np.zeros(extra, bool)])
+    valid = jnp.arange(pad_to) < n
+    odev = np.zeros(pad_to, dtype=np.int32)
+    odev[:n] = origin
+    return _DevBatch(
+        data=jax.device_put(data, sh),
+        valid=jax.device_put(valid, msk),
+        res=jax.device_put(jnp.asarray(np.asarray(res_mask)), msk),
+        origin_dev=jax.device_put(jnp.asarray(odev), msk),
+        n=n,
+        origin=np.asarray(origin),
+        index=list(index),
+        extras=list(extras),
+    )
+
+
 def _concat_dev(mesh, left: _DevBatch, right: _DevBatch, lc, rc, overall, skipped,
                 buckets: bool = False):
     """Merge two sharded padded blocks: compact each side to its valid
     prefix, concat, re-pad to the (bucketed) target. Compacting prevents
     padding from cascading across merges (invariant: valid rows are always
     the leading [0, n) prefix)."""
-    sh = cells_sharding(mesh)
-    msk = NamedSharding(mesh, P(CELLS_AXIS))
-    n = left.n + right.n
     data = jnp.concatenate([lc[: left.n], rc[: right.n]], axis=0)
-    res = jnp.concatenate([left.res[: left.n], right.res[: right.n]])
-    ndev = mesh.devices.size
-    pad_to = _bucket_size(n, ndev, buckets)
-    if pad_to != n:
-        extra = pad_to - n
-        data = jnp.concatenate([data, jnp.zeros((extra, data.shape[1]), data.dtype)])
-        res = jnp.concatenate([res, jnp.zeros((extra,), bool)])
-    valid = jnp.arange(pad_to) < n
+    res = np.concatenate(
+        [np.asarray(left.res)[: left.n], np.asarray(right.res)[: right.n]]
+    )
     extras = list(left.extras) + list(right.extras)
     if not skipped:
         extras = extras + [overall]
-    return _DevBatch(
-        data=jax.device_put(data, sh),
-        valid=jax.device_put(valid, msk),
-        res=jax.device_put(res, msk),
-        n=left.n + right.n,
-        origin=np.concatenate([left.origin, right.origin]),
-        index=list(left.index) + list(right.index),
-        extras=extras,
+    return _repad_dev(
+        mesh,
+        data,
+        res,
+        np.concatenate([left.origin, right.origin]),
+        list(left.index) + list(right.index),
+        extras,
+        buckets,
+    )
+
+
+def _padded_extras(extras, emax, d, dt):
+    out = jnp.zeros((emax, d), dt)
+    if extras:
+        out = out.at[: len(extras)].set(jnp.stack(extras))
+    return out
+
+
+def _count_pairs_dev(mesh, left: _DevBatch, right: _DevBatch, k, prop_k,
+                     knn_method, memory, emax, d, dt) -> int:
+    """MNN pair count between two sharded nodes with orthogonalization
+    replay (SPMD analog of _count_pairs in correct/fast_mnn.py)."""
+    k1 = choose_k(k, prop_k, left.n)
+    k2 = choose_k(k, prop_k, right.n)
+    count = _jitted_count(mesh, k1, k2, knn_method, memory)
+    lex = _padded_extras(left.extras, emax, d, dt)
+    rex = _padded_extras(right.extras, emax, d, dt)
+    n = count(
+        left.data, right.data, left.valid, right.valid, left.res, right.res,
+        lex, rex,
+    )
+    return int(n)
+
+
+def _node_record(node: _DevBatch) -> MergeNode:
+    """Compact host-side record of a _DevBatch for checkpointing."""
+    data = np.asarray(node.data)[: node.n]
+    res_mask = np.asarray(node.res)[: node.n]
+    restrict = None
+    if not bool(res_mask.all()):
+        restrict = np.nonzero(res_mask)[0].astype(np.int64)
+    return MergeNode(
+        index=list(node.index),
+        data=data,
+        restrict=restrict,
+        origin=np.asarray(node.origin),
+        extras=[np.asarray(e) for e in node.extras],
+    )
+
+
+def _record_to_dev(mesh, rec: MergeNode, buckets: bool) -> _DevBatch:
+    n = rec.data.shape[0]
+    res_mask = np.ones(n, dtype=bool)
+    if rec.restrict is not None:
+        res_mask[:] = False
+        res_mask[np.asarray(rec.restrict)] = True
+    return _repad_dev(
+        mesh,
+        jnp.asarray(rec.data),
+        res_mask,
+        np.asarray(rec.origin),
+        list(rec.index),
+        [jnp.asarray(e) for e in rec.extras],
+        buckets,
     )
 
 
@@ -400,18 +585,22 @@ def distributed_fast_mnn(
     prop_k: Optional[float] = None,
     ndist: float = 3.0,
     merge_order=None,
+    auto_merge: bool = False,
     min_batch_skip: float = 0.0,
     restrict: Optional[Sequence[Optional[np.ndarray]]] = None,
     collect_pairs: bool = True,
     knn_method: str = "exact",
     pad_buckets: bool = False,
     memory: str = "gather",
+    checkpoint_dir: Optional[str] = None,
     progress: bool = False,
 ) -> MNNResult:
     """Full fastMNN correction on precomputed coordinates, cells sharded
-    over ``mesh``. Matches reduced_mnn for the supported options
-    (predefined merge orders, restriction, min_batch_skip); lost_var is not
-    computed in this path (reported as nan).
+    over ``mesh``. Engine parity with reduced_mnn: predefined merge orders
+    AND auto_merge (reference R/MNN_tree.R:154-226), restriction,
+    min_batch_skip, per-step lost-variance diagnostics
+    (reference R/fastMNN.R:500-501), and checkpoint/resume via
+    ``checkpoint_dir`` (same store as the host engine).
 
     ``memory``: "gather" all-gathers the opposing batch per step (fastest
     while (N, d) fits per-device HBM); "ring" keeps every global-length
@@ -426,42 +615,106 @@ def distributed_fast_mnn(
     nodes = [_make_dev_batch(mesh, b, i, restrict[i]) for i, b in enumerate(batches)]
     d = int(batches[0].shape[1])
     dt = nodes[0].data.dtype
+    emax = nb - 1
 
-    tree = _int_tree(nb, merge_order)
+    checkpointer = None
+    if checkpoint_dir is not None:
+        from ..io.checkpoint import MergeCheckpointer
 
-    def fill(t):
-        return nodes[t] if not isinstance(t, list) else [fill(t[0]), fill(t[1])]
+        checkpointer = MergeCheckpointer(checkpoint_dir)
 
-    tree = fill(tree)
+    if not auto_merge:
+        tree = _int_tree(nb, merge_order)
+
+        def fill(t):
+            return nodes[t] if not isinstance(t, list) else [fill(t[0]), fill(t[1])]
+
+        tree = fill(tree)
+        remainders = None
+        stats = None
+    else:
+        if merge_order is not None:
+            raise ValueError("cannot specify both 'merge_order' and 'auto_merge'")
+        tree = None
+        remainders = list(nodes)
+        stats = None  # filled lazily (skipped entirely on full resume)
 
     nmerges = nb - 1
     infos: List[MergeStepInfo] = []
     step_meta = []
-    spec_data = P(CELLS_AXIS, None)
-    spec_mask = P(CELLS_AXIS)
+    var_kept = np.ones((nmerges, nb), dtype=np.float64)
     final = None
 
     for mdx in range(nmerges):
-        left, right, path = _tree_next(tree)
+        # Resume path: replay a completed step from the checkpoint store.
+        if checkpointer is not None and mdx < checkpointer.completed_steps:
+            tree_path, chosen, rec, diag = checkpointer.load_step(mdx)
+            merged = _record_to_dev(mesh, rec, pad_buckets)
+            infos.append(
+                MergeStepInfo(
+                    left=diag["left_set"],
+                    right=diag["right_set"],
+                    pairs=diag["pairs"],
+                    batch_size=diag["batch_size"],
+                    skipped=diag["skipped"],
+                    lost_var=diag["lost_var"],
+                )
+            )
+            var_kept[mdx] = 1.0 - diag["lost_var"]
+            step_meta.append((diag["left_set"], diag["right_set"]))
+            if not auto_merge:
+                cur_left, cur_right, expect_path = _tree_next(tree)
+                if (
+                    expect_path != tree_path
+                    or list(cur_left.index) != list(diag["left_set"])
+                    or list(cur_right.index) != list(diag["right_set"])
+                ):
+                    raise ValueError("checkpoint does not match this merge tree")
+                tree = _tree_update(tree, tree_path, merged)
+                if not isinstance(tree, list):
+                    final = tree
+            else:
+                li, ri = chosen
+                remainders = [
+                    x for t, x in enumerate(remainders) if t not in (li, ri)
+                ] + [merged]
+                stats = diag["stats"]
+                if len(remainders) == 1:
+                    final = merged
+            continue
+
+        if not auto_merge:
+            left, right, path = _tree_next(tree)
+            li = ri = None
+        else:
+            if stats is None:
+                # O(B^2) pairwise MNN counts (reference R/MNN_tree.R:160-167)
+                m = len(remainders)
+                stats = np.zeros((m, m), dtype=np.int64)
+                for i in range(m):
+                    for j in range(i):
+                        stats[i, j] = _count_pairs_dev(
+                            mesh, remainders[i], remainders[j], k, prop_k,
+                            knn_method, memory, emax, d, dt,
+                        )
+            li, ri = _pick_best_merge(stats)
+            left, right = remainders[li], remainders[ri]
+            path = None
+
         k1 = choose_k(k, prop_k, left.n)
         k2 = choose_k(k, prop_k, right.n)
         tric_k = min(choose_k(k, prop_k, right.n), right.n)
 
         step = _jitted_step(
-            mesh, k1, k2, tric_k, ndist, min_batch_skip, knn_method, memory
+            mesh, k1, k2, tric_k, ndist, min_batch_skip, knn_method, memory, nb
         )
         # pad replay vectors to a fixed count (nb-1) for compile reuse
-        emax = nb - 1
-        lex = jnp.zeros((emax, d), dt)
-        if left.extras:
-            lex = lex.at[: len(left.extras)].set(jnp.stack(left.extras))
-        rex = jnp.zeros((emax, d), dt)
-        if right.extras:
-            rex = rex.at[: len(right.extras)].set(jnp.stack(right.extras))
+        lex = _padded_extras(left.extras, emax, d, dt)
+        rex = _padded_extras(right.extras, emax, d, dt)
         t0 = _time.perf_counter() if progress else 0.0
-        lc, rc, overall, mag, n_pairs, mutual, l2r = step(
+        lc, rc, overall, mag, n_pairs, mutual, l2r, var_old, var_new = step(
             left.data, right.data, left.valid, right.valid, left.res, right.res,
-            lex, rex,
+            left.origin_dev, right.origin_dev, lex, rex,
         )
 
         mag_f = float(mag)
@@ -486,6 +739,16 @@ def distributed_fast_mnn(
                 [lmap[rows], rmap[tt[rows, cols]]], axis=1
             ).astype(np.int64)
 
+        # lost.var per input batch (reference R/fastMNN.R:500-501): only
+        # batches on the merged sides change; others keep ratio 1.
+        vo = np.asarray(var_old, dtype=np.float64)
+        vn = np.asarray(var_new, dtype=np.float64)
+        involved_batches = list(left.index) + list(right.index)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = vn / vo
+        for b in involved_batches:
+            var_kept[mdx, b] = ratio[b]
+
         infos.append(
             MergeStepInfo(
                 left=list(left.index),
@@ -493,7 +756,7 @@ def distributed_fast_mnn(
                 pairs=pairs,
                 batch_size=mag_f,
                 skipped=skipped,
-                lost_var=np.full(nb, np.nan),
+                lost_var=1.0 - var_kept[mdx],
             )
         )
         step_meta.append((list(left.index), list(right.index)))
@@ -501,9 +764,45 @@ def distributed_fast_mnn(
         merged = _concat_dev(
             mesh, left, right, lc, rc, overall, skipped, buckets=pad_buckets
         )
-        tree = _tree_update(tree, path, merged)
-        if not isinstance(tree, list):
-            final = tree
+        if not auto_merge:
+            tree = _tree_update(tree, path, merged)
+            if not isinstance(tree, list):
+                final = tree
+        else:
+            keep = [x for t, x in enumerate(remainders) if t not in (li, ri)]
+            kept_idx = [t for t in range(len(remainders)) if t not in (li, ri)]
+            old = stats[np.ix_(kept_idx, kept_idx)]
+            new_counts = [
+                _count_pairs_dev(
+                    mesh, merged, other, k, prop_k, knn_method, memory,
+                    emax, d, dt,
+                )
+                for other in keep
+            ]
+            n_new = len(keep) + 1
+            stats = np.zeros((n_new, n_new), dtype=np.int64)
+            stats[: len(keep), : len(keep)] = old
+            stats[len(keep), : len(keep)] = np.asarray(new_counts, dtype=np.int64)
+            remainders = keep + [merged]
+            if len(remainders) == 1:
+                final = merged
+
+        if checkpointer is not None:
+            checkpointer.save_step(
+                mdx,
+                path if not auto_merge else None,
+                None if not auto_merge else [li, ri],
+                _node_record(merged),
+                {
+                    "pairs": pairs,
+                    "lost_var": 1.0 - var_kept[mdx],
+                    "left_set": list(left.index),
+                    "right_set": list(right.index),
+                    "batch_size": mag_f,
+                    "skipped": bool(skipped),
+                    "stats": stats if auto_merge else None,
+                },
+            )
 
     assert final is not None
     fd = np.asarray(final.data)

@@ -25,20 +25,36 @@ def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    initialization_timeout: Optional[float] = None,
 ) -> None:
     """jax.distributed.initialize wrapper; no-op when single-process or when
     already initialized. On TPU pods with the standard environment all
-    arguments are auto-detected."""
+    arguments are auto-detected.
+
+    Failure policy: only the fully-auto-detected case (no arguments) may
+    silently degrade to single-process — that is the ordinary laptop/single
+    -host run. When any coordination argument IS given, the caller asked for
+    a pod; errors surface loudly instead of silently running 1/N of the job.
+    """
     if jax.process_count() > 1:
         return  # already initialized
+    explicit = any(
+        v is not None for v in (coordinator_address, num_processes, process_id)
+    )
+    kwargs = {}
+    if initialization_timeout is not None:
+        kwargs["initialization_timeout"] = initialization_timeout
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kwargs,
         )
     except (ValueError, RuntimeError):
-        # single-process run (no coordinator configured): fine.
+        if explicit:
+            raise
+        # auto-detect found no coordinator: single-process run, fine.
         pass
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "restore_original_order",
     "reindex_pairings",
     "combine_restrict",
+    "generate_cell_names",
     "subset_to_index",
     "intersect_rows",
     "DividedBatches",
@@ -241,6 +242,31 @@ def reindex_pairings(pairings: Sequence[np.ndarray], new_order: np.ndarray) -> l
         p = np.asarray(p)
         out.append(rev[p] if p.size else p.reshape(0, 2).astype(np.int64))
     return out
+
+
+def generate_cell_names(
+    name_lists: Sequence[Optional[Sequence[str]]],
+    counts: Sequence[int],
+) -> Optional[np.ndarray]:
+    """Concatenate per-batch cell-name vectors for output dimnaming.
+
+    Mirrors GENERATE_NAMES inside .rename_output (reference
+    R/utils_multibatch.R:8-16): if some batches are named and others are
+    not, the unnamed batches contribute empty strings; if none are named,
+    the result is None.
+    """
+    if name_lists is None or all(nm is None for nm in name_lists):
+        return None
+    parts = []
+    for nm, n in zip(name_lists, counts):
+        if nm is None:
+            parts.append(np.full(int(n), "", dtype=object))
+        else:
+            arr = np.asarray(nm, dtype=object)
+            if arr.shape[0] != int(n):
+                raise ValueError("cell names do not match the number of cells")
+            parts.append(arr)
+    return np.concatenate(parts) if parts else None
 
 
 def combine_restrict(

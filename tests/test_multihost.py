@@ -21,6 +21,19 @@ def test_initialize_multihost_single_process_noop():
     assert jax.process_count() == 1
 
 
+def test_initialize_multihost_explicit_config_fails_loudly():
+    # A requested-but-broken pod bootstrap must surface, not silently run
+    # 1/N of the job (VERDICT r1 item 10): only the fully-auto-detected
+    # no-argument case may degrade to single-process.
+    with pytest.raises((RuntimeError, ValueError)):
+        initialize_multihost(
+            coordinator_address="256.256.256.256:65500",
+            num_processes=2,
+            process_id=1,
+            initialization_timeout=3,
+        )
+
+
 def test_multihost_mesh_spans_all_devices_host_major():
     mesh = make_multihost_cells_mesh()
     assert mesh.axis_names == (CELLS_AXIS,)
