@@ -23,15 +23,64 @@ __all__ = [
 ]
 
 
-def fit_trend_var(
-    means: np.ndarray, variances: np.ndarray, span: float = 0.3
-) -> Callable[[np.ndarray], np.ndarray]:
-    """Mean-variance trend fit (scran::fitTrendVar stand-in).
+def _fit_parametric_curve(x: np.ndarray, y: np.ndarray):
+    """Least-squares fit of y ~ a*x / (x^n + b) in log space.
 
-    The reference delegates to scran's parametric+loess trend
-    (R/mnnDeltaVariance.R:158); here we fit a tricube-weighted local linear
-    regression (loess degree 1) on the same (mean, variance) pairs. Same
-    interface — returns a callable trend — with a different smoother.
+    The parametric component of scran::fitTrendVar (its parametric=TRUE
+    default): the curve captures the Poisson-driven rise and saturation of
+    log-expression variance against the mean. Fit by a coarse (n, b) grid
+    with closed-form ``a`` per point, then one refinement pass around the
+    winner. Returns (curve callable, sse) or None when unfittable.
+    """
+    if x.size < 4:
+        return None
+    lx, ly = np.log(x), np.log(y)
+    med = float(np.median(x))
+
+    def solve(n_grid, b_grid):
+        best = None
+        for n_ in n_grid:
+            xn = np.power(x, n_)
+            for b_ in b_grid:
+                pen = np.log(xn + b_)
+                la = np.mean(ly - lx + pen)
+                sse = float(np.sum((ly - (la + lx - pen)) ** 2))
+                if best is None or sse < best[0]:
+                    best = (sse, float(np.exp(la)), b_, n_)
+        return best
+
+    n_grid = np.linspace(0.5, 4.0, 15)
+    b_grid = (med ** n_grid.mean()) * np.exp(np.linspace(-7.0, 7.0, 29))
+    sse, a, b, n_ = solve(n_grid, b_grid)
+    n_grid2 = np.linspace(max(n_ - 0.3, 0.1), n_ + 0.3, 9)
+    b_grid2 = b * np.exp(np.linspace(-0.7, 0.7, 9))
+    sse, a, b, n_ = solve(n_grid2, b_grid2)
+    if not np.isfinite(sse):
+        return None
+
+    def curve(q):
+        q = np.asarray(q, dtype=np.float64)
+        qq = np.maximum(q, 0.0)
+        return a * qq / (np.power(qq, n_) + b)
+
+    return curve
+
+
+def fit_trend_var(
+    means: np.ndarray,
+    variances: np.ndarray,
+    span: float = 0.3,
+    parametric: bool = True,
+) -> Callable[[np.ndarray], np.ndarray]:
+    """Mean-variance trend fit (scran::fitTrendVar equivalent).
+
+    The reference delegates to scran's trend (R/mnnDeltaVariance.R:158),
+    whose default is a parametric curve y = a*x/(x^n + b) fit by nls,
+    multiplied by a loess smooth of the log-ratio residuals. Here:
+    the same parametric curve (log-space grid+refine least squares), then a
+    tricube-weighted local linear regression (loess degree 1) on the
+    log-ratio. ``parametric=False`` falls back to smoothing the raw
+    (mean, variance) pairs directly.
     """
     means = np.asarray(means, dtype=np.float64)
     variances = np.asarray(variances, dtype=np.float64)
@@ -40,6 +89,27 @@ def fit_trend_var(
     if x.size < 2:
         const = float(np.nanmean(y)) if y.size else 0.0
         return lambda q: np.full(np.asarray(q).shape, const)
+
+    curve = None
+    if parametric:
+        pos = (x > 0) & (y > 0)
+        if pos.sum() >= 4:
+            curve = _fit_parametric_curve(x[pos], y[pos])
+    if curve is not None:
+        # smooth the log-ratio residuals, like scran's loess on the ratio
+        pos = (x > 0) & (y > 0)
+        ratio_trend = fit_trend_var(
+            x[pos], np.log(y[pos] / curve(x[pos])), span=span,
+            parametric=False,
+        )
+
+        def trend_parametric(q):
+            q = np.atleast_1d(np.asarray(q, dtype=np.float64))
+            out = curve(q) * np.exp(ratio_trend(q))
+            return np.maximum(np.where(np.isfinite(out), out, 0.0), 0.0)
+
+        return trend_parametric
+
     order = np.argsort(x)
     xs, ys = x[order], y[order]
     n = xs.size

@@ -38,6 +38,41 @@ def test_fit_trend_var_recovers_linear(rng):
     assert np.allclose(trend(q), 2 * q, rtol=0.1)
 
 
+def test_fit_trend_var_parametric_mean_variance_shape(rng):
+    """Pin the trend on the realistic scran shape y = a*x/(x^n + b): a
+    Poisson-driven rise at low means and decay past the turnover — the
+    curve scran::fitTrendVar's parametric=TRUE nls fit targets
+    (reference R/mnnDeltaVariance.R:158 delegates there)."""
+    a, b, n = 3.0, 2.0, 2.0
+    x = np.exp(rng.uniform(np.log(0.05), np.log(8.0), size=400))
+    true = a * x / (x**n + b)
+    y = true * np.exp(rng.normal(scale=0.15, size=400))
+    trend = fit_trend_var(x, y)
+    q = np.exp(np.linspace(np.log(0.1), np.log(6.0), 25))
+    tq = a * q / (q**n + b)
+    assert np.allclose(trend(q), tq, rtol=0.15)
+    # the non-monotone hump is captured: rises then falls
+    peak = (2.0 / (n - 1)) ** (1 / n)  # argmax of the true curve
+    assert trend(np.array([peak]))[0] > trend(np.array([0.1]))[0]
+    assert trend(np.array([peak]))[0] > trend(np.array([6.0]))[0]
+    # extrapolation beyond the data decays instead of going linearly
+    # negative like a plain local-linear smoother would
+    far = trend(np.array([20.0, 40.0]))
+    assert (far >= 0).all()
+    assert far[1] < far[0] < trend(np.array([peak]))[0]
+
+
+def test_fit_trend_var_parametric_fallback(rng):
+    """Degenerate inputs (too few positive points / non-positive y) fall
+    back to the loess-only smoother without error."""
+    x = np.array([1.0, 2.0, 3.0])
+    y = np.array([0.5, -0.1, 0.4])
+    trend = fit_trend_var(x, y)
+    assert np.isfinite(trend(np.array([1.5]))).all()
+    t2 = fit_trend_var(x[:1], y[:1])
+    assert np.allclose(t2(np.array([2.0, 9.0])), 0.5)
+
+
 def test_mnn_delta_variance_flags_variable_genes(rng):
     b1 = rng.normal(size=(100, 30))
     b2 = rng.normal(size=(100, 30))
