@@ -6,18 +6,32 @@ dominates (e.g. ~77 GB for 100k x 100k). This module replaces it with a
 two-pass exact algorithm:
 
 Pass 1 (Pallas kernel, MXU-bound): for each (query_tile, data_tile) block,
-  compute scores s = 2 q.x - ||x||^2 on the MXU **in VMEM** and reduce each
-  128-column chunk to its max. Only the (N_q x N_d/128) chunk-max matrix
-  ever reaches HBM — 128x less traffic, so the kernel runs at the speed of
-  the matmul.
+  compute scores TRANSPOSED — (DT, QT) = 2 d.q^T - ||d||^2 via dot_general
+  with contraction on the feature dim — on the MXU **in VMEM**, and reduce
+  each 32-row data sub-chunk to its max (a leading-dim reshape + sublane
+  reduction, which Mosaic supports; the straight (QT, 16, 64)-style lane
+  reshape below 128 is rejected). Only the (N_d/32 x N_q) sub-chunk-max
+  matrix ever reaches HBM — 32x less traffic than the score matrix.
 
-Pass 2 (XLA): top-k over chunk-maxes picks k chunks per query row. The k-th
-  largest chunk-max is a *lower bound* on the k-th best score (the k chunk
-  maxima are themselves k distinct scores), and any score >= that bound
-  lives in a chunk whose max also clears it — so the top-k chunks contain
-  every true top-k neighbour. Gather those chunks as whole (128, d) blocks
-  (32 KB contiguous slices — ~14x faster than gathering individual rows on
-  TPU) and rescore exactly on the MXU.
+Pass 2 (XLA): hierarchical exact selection + fine-grained rescore.
+  1. Sub-maxes are maxed in groups of CHUNK/SUB = 4 to recover 128-chunk
+     maxima.
+  2. Top-k 128-chunks per query: the k-th largest chunk-max is a *lower
+     bound* on the k-th best score (the k chunk maxima are themselves k
+     distinct scores), so the top-k chunks contain every true top-k
+     neighbour.
+  3. Within those k chunks' 4k sub-chunks, top-k sub-chunks by sub-max:
+     again the k selected sub-maxes are k distinct scores, so the k-th
+     largest bounds the k-th best overall from below, and every true
+     neighbour's sub-chunk clears it. (Both selections use topk_pallas.
+     topk_rows, whose iterative masked extraction returns k *distinct*
+     positions even under ties — required for the k-distinct-scores
+     argument.)
+  4. Gather the k sub-chunks as whole (32, d) blocks (8 KB contiguous
+     slices) and rescore exactly on the MXU. 32-row granularity moves 4x
+     fewer bytes than 128-row chunks for the same k gathers per query
+     (measured 194 vs 277 ms at 98304^2, d=50, k=20; per-row gathers are
+     ~14x slower still).
 
 Exact up to tie-breaking: equal-score neighbours may resolve to different
 indices than the reference XLA path (which is index-stable).
@@ -39,20 +53,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["chunk_max_scores", "query_knn_tpu"]
 
-CHUNK = 128          # data rows per chunk (= lane width)
+CHUNK = 128          # selection chunk (exactness granularity of step 2)
+SUB = 32             # data rows per sub-chunk (gather/rescore granularity)
+RATIO = CHUNK // SUB
 QT = 512             # query rows per kernel block
 DT = 1024            # data rows per kernel block
 RESCORE_TILE = 512   # query rows per rescore block
 
 
 def _chunkmax_kernel(q_ref, d_ref, dn_ref, m_ref):
-    """One (QT x DT) score block -> per-128-chunk max.
+    """One (QT x DT) score block -> per-SUB-row sub-chunk max, transposed.
 
-    Output is written transposed, (chunks x queries), so the stored block
-    is (c_tile, QT) — lane dim QT is 128-aligned (Mosaic block constraint).
-    The within-chunk argmax is NOT computed here: pass 2 rescoring recovers
-    exact indices, and dropping it saves ~15% kernel time + half the output
-    traffic.
+    Scores are computed as (DT, QT) so the 32-row grouping is a leading-dim
+    reshape + sublane reduction (Mosaic-supported; the lane-dim sub-128
+    reshape of the (QT, DT) orientation is not). The within-chunk argmax is
+    NOT computed here: pass 2 rescoring recovers exact indices.
     """
     # fp32 inputs: HIGHEST = full fp32 via multi-pass MXU — selection
     # quality needs it (default matmul precision is bf16 on TPU, ~1e-2
@@ -60,31 +75,29 @@ def _chunkmax_kernel(q_ref, d_ref, dn_ref, m_ref):
     # (the fast candidate-selection mode; pass 2 rescores in full fp32).
     prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    s = 2.0 * jnp.dot(
-        q_ref[:], d_ref[:].T,
+    s_t = 2.0 * lax.dot_general(
+        d_ref[:], q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec,
-    ) - dn_ref[:]                                   # (QT, DT)
-    c_tile = DT // CHUNK
-    m_ref[:] = jnp.max(s.reshape(QT, c_tile, CHUNK), axis=2).T
+    ) - dn_ref[:]                                   # (DT, QT)
+    m_ref[:] = jnp.max(s_t.reshape(DT // SUB, SUB, QT), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def chunk_max_scores(
     query: jnp.ndarray, data: jnp.ndarray, dn: jnp.ndarray, interpret: bool = False
 ):
-    """(N_d/128, N_q) transposed chunk maxima of the score matrix.
+    """(N_d/SUB, N_q) transposed sub-chunk maxima of the score matrix.
 
     ``query``/``data`` must be padded: N_q % QT == 0, N_d % DT == 0, and the
     feature dim padded to a multiple of 128 (or exactly 64). ``dn`` =
-    (1, N_d) fp32 row of ||x||^2 with +inf for invalid rows. fp32 inputs
+    (N_d, 1) fp32 column of ||x||^2 with +inf for invalid rows. fp32 inputs
     select with exact scores; bf16 inputs trade ~3 decimal digits of score
     precision for a single-pass MXU matmul.
     """
     nq, d = query.shape
     nd = data.shape[0]
-    c_total = nd // CHUNK
-    c_tile = DT // CHUNK
     grid = (nq // QT, nd // DT)
     return pl.pallas_call(
         _chunkmax_kernel,
@@ -92,14 +105,14 @@ def chunk_max_scores(
         in_specs=[
             pl.BlockSpec((QT, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((DT, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((DT, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c_tile, QT), lambda i, j: (j, i),
+        out_specs=pl.BlockSpec((DT // SUB, QT), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c_total, nq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nd // SUB, nq), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * nq * nd * d,
-            bytes_accessed=(nq * d + nd * d + nq * c_total) * 4,
+            bytes_accessed=(nq * d + nd * d + nq * (nd // SUB)) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -119,9 +132,9 @@ def _pad_axis(x, multiple, axis, value=0.0):
 @functools.partial(jax.jit, static_argnames=("interpret", "bf16"))
 def _prep_pass1(query, data, data_valid, interpret: bool = False,
                 bf16: bool = False):
-    """Pad, compute data norms, run the chunk-max kernel; returns the
-    (nq, C) chunk-max matrix. With ``bf16`` the matmul inputs are cast to
-    bfloat16 (fp32 accumulation; norms stay fp32) for a single-pass MXU
+    """Pad, compute data norms, run the sub-chunk-max kernel; returns the
+    (nq, C32) sub-chunk-max matrix. With ``bf16`` the matmul inputs are cast
+    to bfloat16 (fp32 accumulation; norms stay fp32) for a single-pass MXU
     matmul — candidate selection only, pass 2 rescores exactly."""
     nq, d0 = query.shape
     acc = jnp.float32
@@ -134,70 +147,93 @@ def _prep_pass1(query, data, data_valid, interpret: bool = False,
     if bf16:
         q = q.astype(jnp.bfloat16)
         x = x.astype(jnp.bfloat16)
-    m_t = chunk_max_scores(q, x, dn[None, :], interpret)  # (C, nq_pad)
+    m_t = chunk_max_scores(q, x, dn[:, None], interpret)  # (C32, nq_pad)
     return m_t.T[:nq]
 
 
-@functools.partial(jax.jit, static_argnames=("bf16",))
-def _chunked_view(data, data_valid, bf16: bool = False):
-    """Materialize the padded data as (C, CHUNK, dpad) blocks + per-chunk
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _select_subchunks(m32, k: int, interpret: bool = False):
+    """Hierarchical exact selection: (nq, C32) sub-maxes -> (nq, ks) top
+    sub-chunk ids (ks = min(k, candidate count); see module docstring for
+    the exactness argument)."""
+    def _topk(x, kk):
+        if not interpret and kk <= 64:
+            from .topk_pallas import topk_rows
+
+            return topk_rows(x, kk)                  # distinct-index ties
+        return lax.top_k(x, kk)
+
+    nq, c32 = m32.shape
+    c128 = c32 // RATIO
+    m128 = jnp.max(m32.reshape(nq, c128, RATIO), axis=2)
+    kc = min(k, c128)
+    _, top_chunks = _topk(m128, kc)                  # (nq, kc)
+    sub_ids = (
+        top_chunks[:, :, None] * RATIO
+        + jnp.arange(RATIO, dtype=jnp.int32)[None, None, :]
+    ).reshape(nq, RATIO * kc)
+    # flat 2-D gather: the 3-D take_along_axis form crashes the TPU runtime
+    # at unaligned chunk counts (observed at c128=72), and the flat gather
+    # is equivalent.
+    sub = jnp.take_along_axis(m32, sub_ids, axis=1)  # (nq, RATIO*kc)
+    ks = min(k, RATIO * kc)
+    _, pos = _topk(sub, ks)
+    return jnp.take_along_axis(sub_ids, pos, axis=1)  # (nq, ks)
+
+
+@jax.jit
+def _chunked_view(data, data_valid):
+    """Materialize the padded data as (C32, SUB, dpad) blocks + per-sub-chunk
     norms, in a jit of their own so the arrays land in XLA's default
     layout. Feeding the rescore from pass 1's padded intermediates instead
     pins a pallas-chosen layout on them and doubles the gather time
     (651 ms vs 329 ms measured at 98304^2).
 
-    ``bf16`` is accepted for signature symmetry but ignored: storing the
-    gathered blocks in bfloat16 was measured SLOWER (481 vs 366 ms at
-    98304^2) — the halved bytes don't pay for the 16 KB slices and the
-    bf16 einsum relayout — so the rescore always gathers fp32."""
-    del bf16
+    The gathered blocks stay fp32: storing them in bfloat16 was measured
+    SLOWER (481 vs 366 ms at 98304^2) — the halved bytes don't pay for the
+    smaller slices and the bf16 einsum relayout."""
     d0 = data.shape[1]
     dpad = 64 if d0 <= 64 else -(-d0 // 128) * 128
     x = _pad_axis(_pad_axis(data.astype(jnp.float32), DT, 0), dpad, 1)
     dn = jnp.sum(jnp.square(x), axis=1)
     valid = _pad_axis(data_valid, DT, 0, value=False)
     dn = jnp.where(valid, dn, jnp.inf)
-    return x.reshape(-1, CHUNK, dpad), dn.reshape(-1, CHUNK)
+    return x.reshape(-1, SUB, dpad), dn.reshape(-1, SUB)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _rescore_chunks(query, data3, dn2, top_chunks, k: int):
-    """Gather the selected chunks as whole (CHUNK, dpad) blocks and rescore.
+def _rescore_chunks(query, data3, dn2, top_sub, k: int):
+    """Gather the selected sub-chunks as whole (SUB, dpad) blocks and
+    rescore exactly on the MXU.
 
-    Chunk-granular gathers move 32 KB contiguous slices, which the TPU
-    memory system handles ~14x faster than the equivalent per-row gather
-    (measured 327 ms vs 4583 ms at 98304^2, d=50, k=20)."""
+    Sub-chunk-granular gathers move 8 KB contiguous slices — 4x fewer bytes
+    than 128-row chunks for the same k gathers per query (194 vs 277 ms at
+    98304^2, d=50, k=20); per-row gathers are ~14x slower than 128-row
+    (4583 ms)."""
     acc = jnp.float32
     nq, d0 = query.shape
     dpad = data3.shape[2]
-    kc = top_chunks.shape[1]
+    kc = top_sub.shape[1]
     q = _pad_axis(query.astype(acc), dpad, 1)
     qn = jnp.sum(jnp.square(q), axis=1)
-    if data3.dtype == jnp.bfloat16:
-        q = q.astype(jnp.bfloat16)      # single-pass MXU rescore
 
     nq_pad = -(-nq // RESCORE_TILE) * RESCORE_TILE
     qp = _pad_axis(q, RESCORE_TILE, 0)
-    tcp = _pad_axis(top_chunks, RESCORE_TILE, 0)
+    tcp = _pad_axis(top_sub, RESCORE_TILE, 0)
     ntiles = nq_pad // RESCORE_TILE
-    offs = jnp.arange(CHUNK, dtype=jnp.int32)
-
-    # fp32 inputs: HIGHEST (exact fp32 scores). bf16 inputs: DEFAULT is
-    # already the exact single-pass product of the stored values.
-    prec = (jax.lax.Precision.DEFAULT if data3.dtype == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
+    offs = jnp.arange(SUB, dtype=jnp.int32)
 
     def rescore(args):
         qt, ct = args                               # (T, dpad), (T, kc)
-        gx = data3[ct]                              # (T, kc, 128, dpad)
-        gdn = dn2[ct]                               # (T, kc, 128)
+        gx = data3[ct]                              # (T, kc, SUB, dpad)
+        gdn = dn2[ct]                               # (T, kc, SUB)
         s = 2.0 * jnp.einsum(
             "td,tkcd->tkc", qt, gx, preferred_element_type=acc,
-            precision=prec,
+            precision=jax.lax.Precision.HIGHEST,
         ) - gdn
-        s = s.reshape(qt.shape[0], kc * CHUNK)
-        cols = (ct[:, :, None] * CHUNK + offs[None, None, :]).reshape(
-            qt.shape[0], kc * CHUNK
+        s = s.reshape(qt.shape[0], kc * SUB)
+        cols = (ct[:, :, None] * SUB + offs[None, None, :]).reshape(
+            qt.shape[0], kc * SUB
         )
         vals, pos = lax.top_k(s, k)
         idx = jnp.take_along_axis(cols, pos, axis=1)
@@ -222,18 +258,10 @@ def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False,
     own input layouts (see _rescore_chunks); when this function is itself
     traced inside a larger jit the stages inline and behave as one
     program."""
-    m = _prep_pass1(query, data, data_valid, interpret, bf16)
-
-    kc = min(k, m.shape[1])
-    if not interpret and kc <= 64:
-        from .topk_pallas import topk_rows
-
-        _, top_chunks = topk_rows(m, kc)            # (nq, kc) 10x lax.top_k
-    else:
-        _, top_chunks = lax.top_k(m, kc)            # (nq, kc)
-
-    data3, dn2 = _chunked_view(data, data_valid, bf16)
-    return _rescore_chunks(query, data3, dn2, top_chunks, k)
+    m32 = _prep_pass1(query, data, data_valid, interpret, bf16)
+    top_sub = _select_subchunks(m32, k, interpret)
+    data3, dn2 = _chunked_view(data, data_valid)
+    return _rescore_chunks(query, data3, dn2, top_sub, k)
 
 
 def query_knn_tpu(
@@ -246,7 +274,7 @@ def query_knn_tpu(
     squared: bool = False,
     bf16: bool = False,
 ):
-    """Exact kNN via the fused chunk-max kernel + chunk rescore.
+    """Exact kNN via the fused sub-chunk-max kernel + hierarchical rescore.
 
     Same contract as knn.query_knn; requires N_d/128 >= k chunks (smaller
     inputs should use the XLA path). ``bf16`` selects candidate chunks

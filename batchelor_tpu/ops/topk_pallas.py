@@ -63,21 +63,26 @@ def topk_rows(x: jnp.ndarray, k: int, interpret: bool = False):
     modest row width (the full row block must fit VMEM: W <= ~16k fp32).
     """
     n, w = x.shape
+    # lane-align the width: Mosaic faults on sub-128 (or unaligned) lane
+    # dims. -inf pad columns sit at higher indices than every real column,
+    # so ties resolve to the real column and they are never selected while
+    # any real candidate remains.
+    wpad = max(-(-w // 128) * 128, 128)
     # VMEM-bounded rows per block: the kernel holds ~3 copies of the
     # (rows, W) block (scores + loop carry) plus outputs.
     budget = 10 * 1024 * 1024
     r = _ROWS_PER_BLOCK
-    while r > 8 and 3 * r * w * 4 > budget:
+    while r > 8 and 3 * r * wpad * 4 > budget:
         r //= 2
     npad = -(-n // r) * r
-    xp = jnp.pad(x.astype(jnp.float32), ((0, npad - n), (0, 0)),
+    xp = jnp.pad(x.astype(jnp.float32), ((0, npad - n), (0, wpad - w)),
                  constant_values=-jnp.inf)
     kpad = max(-(-k // 128) * 128, 128)  # output lane padding
 
     vals, idx = pl.pallas_call(
         functools.partial(_topk_kernel, k=k, kpad=kpad),
         grid=(npad // r,),
-        in_specs=[pl.BlockSpec((r, w), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec((r, wpad), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((r, kpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r, kpad), lambda i: (i, 0), memory_space=pltpu.VMEM),

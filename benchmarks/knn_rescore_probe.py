@@ -1,14 +1,9 @@
-"""Probe the exact-kNN pass-2 rescore bottleneck on the real TPU.
+"""Per-stage roofline probe of the exact two-pass kNN on the real TPU.
 
-Current exact two-pass at 98304^2, d=50, k=20: pass1 ~121 ms, chunk top-k
-~34 ms, rescore ~270-330 ms. The rescore gathers (kc=20) whole (128, 64)
-fp32 chunks per query row = 64 GB of 32 KB slices at ~196 GB/s effective.
-
-Questions:
-  1. Is the gather bandwidth-bound or slice-overhead bound?
-     (compare random vs sorted vs sequential chunk ids)
-  2. How fast is the segment-matmul alternative (sort pairs by chunk,
-     data-stationary MXU matmul, scatter scores back)?
+Times each stage of ops/knn_pallas.py's SUB=32 pipeline at 98304^2, d=50,
+k=20 and reports achieved bandwidth/FLOP rates against v5e ceilings:
+HBM ~819 GB/s, MXU ~197 TFLOP/s bf16 (fp32 Precision.HIGHEST runs the MXU
+in multi-pass mode; its effective ceiling is ~1/6 of bf16, ~33 TFLOP/s).
 
 Run: python benchmarks/knn_rescore_probe.py
 """
@@ -17,7 +12,6 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -27,19 +21,21 @@ from batchelor_tpu.ops import knn_pallas as kp
 N = 98304
 D = 50
 K = 20
-CHUNK = 128
-C = N // CHUNK
+
+HBM_PEAK = 819e9          # v5e bytes/s
+MXU_BF16 = 197e12         # v5e FLOP/s
+MXU_FP32 = MXU_BF16 / 6   # Precision.HIGHEST multi-pass
 
 
-def timeit(fn, *args, n=5, warmup=2):
+def timeit(fn, n=5, warmup=2):
     for _ in range(warmup):
-        out = fn(*args)
-        _force(out)
-    t0 = time.perf_counter()
+        _force(fn())
+    best = float("inf")
     for _ in range(n):
-        out = fn(*args)
-        _force(out)
-    return (time.perf_counter() - t0) / n
+        t0 = time.perf_counter()
+        _force(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _force(out):
@@ -55,58 +51,41 @@ def main():
     data = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
     query = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
     valid = jnp.ones((N,), bool)
+    dpad = 64
 
-    # pass 1 + chunk top-k (reuse library)
-    m = kp._prep_pass1(query, data, valid)
-    from batchelor_tpu.ops.topk_pallas import topk_rows
-    _, top_chunks = topk_rows(m, K)
-    top_chunks = jax.block_until_ready(top_chunks)
+    m32 = jax.block_until_ready(kp._prep_pass1(query, data, valid))
+    top_sub = jax.block_until_ready(kp._select_subchunks(m32, K))
     data3, dn2 = kp._chunked_view(data, valid)
 
-    t_p1 = timeit(lambda: kp._prep_pass1(query, data, valid))
-    t_tk = timeit(lambda: topk_rows(m, K)[1])
-    print(f"pass1 chunk-max: {t_p1*1e3:.1f} ms "
-          f"({2*N*N*64/t_p1/1e12:.1f} TFLOP/s fp32-HIGHEST)", flush=True)
-    print(f"chunk top-k:     {t_tk*1e3:.1f} ms", flush=True)
+    # pass 1: matmul FLOPs dominate (2 N^2 dpad fp32-HIGHEST)
+    t = timeit(lambda: kp._prep_pass1(query, data, valid))
+    fl = 2 * N * N * dpad
+    print(f"pass1 sub-chunk max : {t*1e3:7.1f} ms  "
+          f"{fl/t/1e12:5.1f} TFLOP/s fp32-HIGHEST "
+          f"({fl/t/MXU_FP32*100:4.1f}% of fp32 MXU ceiling)", flush=True)
 
-    # baseline rescore
-    t_rs = timeit(lambda: kp._rescore_chunks(query, data3, dn2, top_chunks, K))
-    gb = N * K * CHUNK * 64 * 4 / 1e9
-    print(f"rescore (random ids):    {t_rs*1e3:.1f} ms ({gb/t_rs:.0f} GB/s eff)",
+    # selection: topk over (N, C128) + (N, 4k); traffic ~ m32 + m128 reads
+    t = timeit(lambda: kp._select_subchunks(m32, K))
+    by = (m32.size + m32.size // 4) * 4 * 2
+    print(f"hierarchical select : {t*1e3:7.1f} ms  "
+          f"{by/t/1e9:5.0f} GB/s ({by/t/HBM_PEAK*100:4.1f}% of HBM peak)",
           flush=True)
 
-    # 1. sorted chunk ids
-    tc_sorted = jnp.sort(top_chunks, axis=1)
-    t_rs_s = timeit(lambda: kp._rescore_chunks(query, data3, dn2, tc_sorted, K))
-    print(f"rescore (sorted ids):    {t_rs_s*1e3:.1f} ms ({gb/t_rs_s:.0f} GB/s eff)",
+    # rescore: gathers N*K (SUB, dpad) fp32 blocks + writes (N, k) outputs
+    t = timeit(lambda: kp._rescore_chunks(query, data3, dn2, top_sub, K))
+    by = N * K * kp.SUB * dpad * 4
+    print(f"rescore (SUB=32)    : {t*1e3:7.1f} ms  "
+          f"{by/t/1e9:5.0f} GB/s gather ({by/t/HBM_PEAK*100:4.1f}% of HBM peak)",
           flush=True)
 
-    # 2. sequential ids (best-case locality)
-    tc_seq = jnp.tile(jnp.arange(K, dtype=top_chunks.dtype)[None, :], (N, 1))
-    t_rs_q = timeit(lambda: kp._rescore_chunks(query, data3, dn2, tc_seq, K))
-    print(f"rescore (sequential ids):{t_rs_q*1e3:.1f} ms ({gb/t_rs_q:.0f} GB/s eff)",
-          flush=True)
+    t = timeit(lambda: kp.query_knn_tpu(query, data, K, squared=True).distances)
+    print(f"TOTAL exact 98k^2   : {t*1e3:7.1f} ms  "
+          f"({N/t/1e3:.0f}k queries/s)", flush=True)
 
-    # 3. raw gather alone (no compute): how much is the gather itself?
-    @jax.jit
-    def gather_only(tc):
-        return data3[tc]  # (N, K, 128, 64)
-
-    # can't materialize 64 GB — gather per tile and reduce
-    @jax.jit
-    def gather_reduce(tc):
-        def f(args):
-            (t,) = args
-            return jnp.sum(data3[t], axis=(1, 2, 3))
-        return lax.map(f, (tc.reshape(-1, 4096, K),)).reshape(-1)
-
-    t_g = timeit(lambda: gather_reduce(top_chunks))
-    print(f"gather+reduce only:      {t_g*1e3:.1f} ms ({gb/t_g:.0f} GB/s eff)",
-          flush=True)
-
-    t_gs = timeit(lambda: gather_reduce(tc_sorted))
-    print(f"gather+reduce sorted:    {t_gs*1e3:.1f} ms ({gb/t_gs:.0f} GB/s eff)",
-          flush=True)
+    t = timeit(
+        lambda: kp.query_knn_tpu(query, data, K, squared=True, bf16=True).distances
+    )
+    print(f"TOTAL bf16-select   : {t*1e3:7.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

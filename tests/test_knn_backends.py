@@ -27,6 +27,32 @@ def test_chunked_respects_mask(rng):
     assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
 
 
+def test_chunked_hierarchical_exact(rng):
+    """Recall-1.0 vs the exact XLA oracle with enough data for the full
+    hierarchical selection (C128 > k: real chunk top-k + sub-chunk top-k).
+
+    The SUB=32 exactness argument (knn_pallas.py module docstring) promises
+    the candidate set always contains every true neighbour; indices must
+    therefore match the oracle exactly away from ties."""
+    q = jnp.asarray(rng.normal(size=(300, 24)))
+    x = jnp.asarray(rng.normal(size=(4000, 24)))
+    ref = query_knn(q, x, 20, method="exact")
+    out = query_knn(q, x, 20, method="chunked")
+    assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
+    assert np.allclose(np.asarray(ref.distances), np.asarray(out.distances),
+                       atol=1e-5)
+
+
+def test_chunked_fewer_chunks_than_k(rng):
+    """Degenerate kc < k: fewer 128-chunks than k — all chunks become
+    candidates and the sub-chunk top-k still covers every true neighbour."""
+    q = jnp.asarray(rng.normal(size=(64, 8)))
+    x = jnp.asarray(rng.normal(size=(1200, 8)))
+    ref = query_knn(q, x, 20, method="exact")
+    out = query_knn(q, x, 20, method="chunked")
+    assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
+
+
 def test_approx_high_recall(rng):
     q = rng.normal(size=(200, 12))
     x = rng.normal(size=(2000, 12))
