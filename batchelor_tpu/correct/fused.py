@@ -7,11 +7,13 @@ with the host — static shapes throughout, variable-size MNN pair sets
 carried as masks over the dense (N1 x k2) candidate array, segment
 reductions over full-size right-cell arrays.
 
-Semantics match fast_mnn's per-step math (reference R/fastMNN.R:436-562)
-with one documented deviation: the tricube neighbour count is the static
-``k`` even if fewer than k right cells are MNN-involved (the reference
-shrinks k to the involved count; with the default k=20 this matters only
-for degenerate inputs).
+The per-step math is the shared ops/merge_math.merge_step_body — the same
+implementation the SPMD driver runs (with its collectives disabled), so the
+fused path is equivalent to the host engine (reference R/fastMNN.R:436-562)
+including the degenerate fewer-MNN-involved-cells-than-k case, where the
+tricube bandwidth's middle index shrinks with the valid neighbour count
+(see ops.merge_math.tricube_weights). tests/test_fused.py pins the
+fused == host equivalence.
 """
 from __future__ import annotations
 
@@ -21,9 +23,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.correction import pair_segment_sums
-from ..ops.knn import query_knn
-from ..ops.mutual_nn import membership_rows
+from ..ops.merge_math import merge_step_body
 
 __all__ = ["fused_merge_step", "FusedMergeOutput"]
 
@@ -55,73 +55,24 @@ def fused_merge_step(
 
     left: (N1, d) reference set; right: (N2, d) set being corrected.
     k1/k2: neighbours searched in left/right respectively. ``knn_method``
-    selects the kNN backend ("exact" | "approx"; see ops.knn.query_knn) —
-    "approx" is ~5x faster at 100k+ cells with ~0.99 recall, the TPU analog
-    of the reference's Annoy/HNSW BNPARAM options.
+    selects the kNN backend ("exact" | "chunked" | "bf16" | "approx"; see
+    ops.knn.query_knn) — the Pallas/approx backends are several times
+    faster at 100k+ cells, the TPU analog of the reference's Annoy/HNSW
+    BNPARAM options.
     """
-    n1, d = left.shape
+    n1 = left.shape[0]
     n2 = right.shape[0]
-    dt = left.dtype
+    ones_l = jnp.ones((n1,), dtype=bool)
+    ones_r = jnp.ones((n2,), dtype=bool)
 
-    # --- MNN detection ----------------------------------------------------
-    nn_l2r = query_knn(left, right, k2, method=knn_method)   # (N1, k2) in right
-    nn_r2l = query_knn(right, left, k1, method=knn_method)   # (N2, k1) in left
-    l2r = nn_l2r.indices
-    r2l = nn_r2l.indices
-    ids = jnp.arange(n1, dtype=l2r.dtype)
-    mutual = membership_rows(l2r, r2l, ids)         # (N1, k2), chunked
-    n_pairs = jnp.sum(mutual)
-
-    # --- averaged correction per involved right cell ----------------------
-    def averaged_correction(ld, rd):
-        # per segment j: sum over pairs of (left_i - right_j)
-        #   = (sum of paired left rows) - count_j * right_j
-        # scan over neighbour positions — no (N1, k2, d) intermediate
-        # (OOMs at 10^6-cell scale) and no unrolled per-position HLO
-        # (minutes of compile time at large N).
-        lsums, counts = pair_segment_sums(ld, l2r, mutual, n2)
-        sums = lsums - rd * counts[:, None]
-        involved = counts > 0
-        avg = sums / jnp.maximum(counts, 1.0)[:, None]
-        return avg, counts, involved
-
-    avg, counts, involved = averaged_correction(left, right)
-    n_involved = jnp.sum(involved)
-
-    # overall batch vector: mean over involved cells of their averages
-    overall = jnp.sum(avg, axis=0, where=involved[:, None]) / jnp.maximum(n_involved, 1)
-    # batch magnitude (reference .get_batch_magnitude)
-    denom = jnp.sum(
-        jnp.sum(jnp.square(avg), axis=1, where=None) * involved
-    ) / jnp.maximum(n_involved, 1)
-    num = jnp.sum(jnp.square(overall))
-    magnitude = jnp.where(denom == 0, 0.0, jnp.sqrt(num / jnp.where(denom == 0, 1.0, denom)))
-
-    do_correct = magnitude >= min_batch_skip
-
-    # --- orthogonalize both sides along the overall vector ----------------
-    def center(mat, vec):
-        v = vec / jnp.sqrt(jnp.sum(jnp.square(vec)))
-        loc = mat @ v
-        return mat + jnp.outer(jnp.mean(loc) - loc, v)
-
-    left_c = jnp.where(do_correct, center(left, overall), left)
-    right_c = jnp.where(do_correct, center(right, overall), right)
-
-    # --- recompute averages on adjusted coordinates, tricube apply --------
-    avg2, _, _ = averaged_correction(left_c, right_c)
-
-    # kNN of every right cell among involved right cells: mask the rest out
-    idx, dist = query_knn(
-        right_c, right_c, tricube_k, data_mask=involved, method=knn_method
+    left_c, right_out, overall, magnitude, n_pairs, mutual, l2r = (
+        merge_step_body(
+            left, right, ones_l, ones_r, ones_l, ones_r,
+            k1=k1, k2=k2, tricube_k=tricube_k, ndist=ndist,
+            min_batch_skip=min_batch_skip, knn_method=knn_method,
+            axis=None, with_var=False,
+        )
     )
-    middle = -(-tricube_k // 2) - 1
-    bandwidth = jnp.maximum(dist[:, middle] * ndist, 1e-8)
-    rel = jnp.minimum(dist / bandwidth[:, None], 1.0)
-    tri = (1.0 - rel**3) ** 3
-    w = tri / jnp.sum(tri, axis=1, keepdims=True)
-    correction = jnp.einsum("nk,nkd->nd", w, avg2[idx])
-    right_out = jnp.where(do_correct, right_c + correction, right_c)
 
     return FusedMergeOutput(
         left=left_c,

@@ -27,8 +27,33 @@ __all__ = [
     "pair_segment_sums",
     "per_batch_var",
     "tricube_average",
+    "tricube_weights",
     "tricube_weighted_correction",
 ]
+
+
+def tricube_weights(dist: jnp.ndarray, ndist: float = 3.0) -> jnp.ndarray:
+    """Row-normalized tricube weights from ascending neighbour distances —
+    THE tricube implementation, shared by the host engine, the fused step
+    and the SPMD driver (via ops/merge_math.py).
+
+    Bandwidth = ndist x the middle (ceiling(n/2)-th) neighbour distance,
+    floored at 1e-8; relative distances clamp to 1 so farther neighbours get
+    zero weight (reference R/utils_tricube.R:1-27). Rows may contain +inf
+    distances (mask-excluded neighbours when fewer than k cells are
+    MNN-involved): they get weight zero and the middle index shrinks to the
+    valid count — matching the reference's k-shrinking
+    (R/fastMNN.R:599-608 via min(k, nrow(data))).
+    """
+    finite = jnp.isfinite(dist)
+    nv = jnp.sum(finite.astype(jnp.int32), axis=1)
+    middle = jnp.maximum(-(-nv // 2) - 1, 0)  # 0-based ceil(nv/2), R/utils_tricube.R:6
+    bw = jnp.take_along_axis(dist, middle[:, None], axis=1)[:, 0] * ndist
+    bw = jnp.maximum(bw, 1e-8)
+    rel = jnp.minimum(dist / bw[:, None], 1.0)
+    tri = jnp.where(finite, (1.0 - rel**3) ** 3, 0.0)
+    denom = jnp.sum(tri, axis=1, keepdims=True)
+    return tri / jnp.maximum(denom, jnp.finfo(tri.dtype).tiny)
 
 
 def pair_segment_sums(l_rows, l2r, mutual, n_segments: int, *, lo=0):
@@ -203,12 +228,7 @@ def per_batch_var(data: jnp.ndarray, index: Sequence[int], origin: np.ndarray) -
 def _tricube_from_knn(
     vals: jnp.ndarray, indices: jnp.ndarray, distances: jnp.ndarray, ndist: float
 ):
-    k = indices.shape[1]
-    middle = -(-k // 2) - 1  # 0-based ceil(k/2): reference R/utils_tricube.R:6
-    bandwidth = jnp.maximum(distances[:, middle] * ndist, 1e-8)
-    rel = jnp.minimum(distances / bandwidth[:, None], 1.0)
-    tri = (1.0 - rel**3) ** 3
-    w = tri / jnp.sum(tri, axis=1, keepdims=True)
+    w = tricube_weights(distances, ndist)
     return jnp.einsum("nk,nkd->nd", w, vals[indices])
 
 

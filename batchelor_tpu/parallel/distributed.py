@@ -22,9 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 shard_map = jax.shard_map
 
-from ..ops.correction import pair_segment_sums
-from ..ops.knn import query_knn
-from ..ops.mutual_nn import membership_rows
+from ..ops.merge_math import merge_step_body
 from .mesh import CELLS_AXIS, cells_sharding, make_cells_mesh, pad_to_multiple
 
 __all__ = ["distributed_merge_step", "distributed_multi_batch_pca", "DistributedMergeOutput"]
@@ -46,84 +44,15 @@ def _merge_step_local(
     lshard, rshard, lmask, rmask, k1: int, k2: int, tricube_k: int, ndist: float,
     min_batch_skip: float,
 ):
-    """Per-device body of one fastMNN merge step (see fused.fused_merge_step
-    for the single-device semantics this mirrors)."""
-    dt = lshard.dtype
-    d = lshard.shape[1]
-    my = lax.axis_index(CELLS_AXIS)
-    n_shard_l = lshard.shape[0]
-    n_shard_r = rshard.shape[0]
-
-    full_right = lax.all_gather(rshard, CELLS_AXIS, tiled=True)       # (N2, d)
-    full_left = lax.all_gather(lshard, CELLS_AXIS, tiled=True)        # (N1, d)
-    full_rmask = lax.all_gather(rmask, CELLS_AXIS, tiled=True)
-    full_lmask = lax.all_gather(lmask, CELLS_AXIS, tiled=True)
-    n2 = full_right.shape[0]
-    n1 = full_left.shape[0]
-
-    # cross-batch kNN on local query tiles against the gathered opposite set
-    l2r, _ = query_knn(lshard, full_right, k2, data_mask=full_rmask)  # local x global
-    r2l, _ = query_knn(rshard, full_left, k1, data_mask=full_lmask)
-    r2l_full = lax.all_gather(r2l, CELLS_AXIS, tiled=True)            # (N2, k1)
-
-    my_ids = my * n_shard_l + jnp.arange(n_shard_l, dtype=l2r.dtype)
-    mutual = membership_rows(l2r, r2l_full, my_ids)
-    mutual = mutual & lmask[:, None]
-    n_pairs = _psum(jnp.sum(mutual))
-
-    def averaged(l_rows, right_full):
-        # scan over neighbour positions (no (S, k2, d) intermediate, no
-        # unrolled per-position HLO); see ops.correction.pair_segment_sums
-        lsums, counts = pair_segment_sums(l_rows, l2r, mutual, n2)
-        lsums = _psum(lsums)
-        counts = _psum(counts)
-        sums = lsums - right_full * counts[:, None]
-        involved = counts > 0
-        return sums / jnp.maximum(counts, 1.0)[:, None], involved
-
-    avg, involved = averaged(lshard, full_right)
-    n_involved = jnp.maximum(jnp.sum(involved), 1)
-
-    overall = jnp.sum(jnp.where(involved[:, None], avg, 0.0), axis=0) / n_involved
-    denom = jnp.sum(jnp.sum(jnp.square(avg), axis=1) * involved) / n_involved
-    num = jnp.sum(jnp.square(overall))
-    magnitude = jnp.where(
-        denom == 0, 0.0, jnp.sqrt(num / jnp.where(denom == 0, 1.0, denom))
+    """Per-device body: the shared merge_step_body (ops/merge_math.py) with
+    the mesh axis threaded through its collectives; padding masks double as
+    restriction masks (this standalone step has no restriction)."""
+    out = merge_step_body(
+        lshard, rshard, lmask, rmask, lmask, rmask,
+        k1=k1, k2=k2, tricube_k=tricube_k, ndist=ndist,
+        min_batch_skip=min_batch_skip, axis=CELLS_AXIS, with_var=False,
     )
-    do_correct = magnitude >= min_batch_skip
-
-    v = overall / jnp.sqrt(jnp.sum(jnp.square(overall)))
-
-    def center_shard(shard, mask):
-        loc = shard @ v
-        total = _psum(jnp.sum(jnp.where(mask, loc, 0.0)))
-        cnt = _psum(jnp.sum(mask.astype(dt)))
-        mean = total / cnt
-        return shard + jnp.outer(mean - loc, v), mean
-
-    lshard_c, _ = center_shard(lshard, lmask)
-    rshard_c, mean_r = center_shard(rshard, rmask)
-    lshard_c = jnp.where(do_correct, lshard_c, lshard)
-    rshard_c = jnp.where(do_correct, rshard_c, rshard)
-
-    # centered full right (same global mean; recomputed locally)
-    loc_fr = full_right @ v
-    full_right_c = jnp.where(
-        do_correct, full_right + jnp.outer(mean_r - loc_fr, v), full_right
-    )
-
-    avg2, _ = averaged(lshard_c, full_right_c)
-
-    # tricube apply: local right rows query the involved cells globally
-    idx, dist = query_knn(rshard_c, full_right_c, tricube_k, data_mask=involved & full_rmask)
-    middle = -(-tricube_k // 2) - 1
-    bandwidth = jnp.maximum(dist[:, middle] * ndist, 1e-8)
-    rel = jnp.minimum(dist / bandwidth[:, None], 1.0)
-    tri = (1.0 - rel**3) ** 3
-    w = tri / jnp.sum(tri, axis=1, keepdims=True)
-    correction = jnp.einsum("nk,nkd->nd", w, avg2[idx])
-    right_out = jnp.where(do_correct, rshard_c + correction, rshard_c)
-
+    lshard_c, right_out, overall, magnitude, n_pairs = out[:5]
     return lshard_c, right_out, overall, magnitude, n_pairs
 
 

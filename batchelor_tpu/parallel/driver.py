@@ -26,9 +26,17 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..correct.fast_mnn import MergeStepInfo, MNNResult, _pick_best_merge
-from ..ops.correction import pair_segment_sums
-from ..ops.knn import query_knn
-from ..ops.mutual_nn import choose_k, membership_rows
+from ..ops.merge_math import (
+    batch_vector_stats,
+    center_along,
+    merge_step_body,
+    perbatch_var,
+    pmaybe,
+    replay_extras,
+    tricube_weights,
+    _mutual_mask,
+)
+from ..ops.mutual_nn import choose_k
 from ..utils.batching import reindex_pairings, restore_original_order
 from ..utils.trees import MergeNode, binarize_tree
 from .mesh import CELLS_AXIS, cells_sharding, pad_to_multiple
@@ -45,69 +53,7 @@ __all__ = ["distributed_fast_mnn"]
 
 
 def _psum(x):
-    return lax.psum(x, CELLS_AXIS)
-
-
-def _center_shard(shard, stat_mask, v, dt):
-    loc = shard @ v
-    total = _psum(jnp.sum(jnp.where(stat_mask, loc, 0.0)))
-    cnt = _psum(jnp.sum(stat_mask.astype(dt)))
-    mean = total / cnt
-    return shard + jnp.outer(mean - loc, v), mean
-
-
-def _replay_extras(shard, stat_mask, extras, dt):
-    """Orthogonalization replay (reference R/fastMNN.R:472-474) as a scan
-    over the padded batch-vector table; zero rows are skipped."""
-
-    def body(sh, vec):
-        nrm = jnp.sum(jnp.square(vec))
-        v = vec / jnp.sqrt(jnp.where(nrm > 0, nrm, 1.0))
-        cand, _ = _center_shard(sh, stat_mask, v, dt)
-        return jnp.where(nrm > 0, cand, sh), None
-
-    shard, _ = lax.scan(body, shard, extras)
-    return shard
-
-
-def _perbatch_var_shard(shard, origin, valid, nb: int):
-    """Sum of per-dimension sample variances per global batch id, psum'd
-    over the mesh (the SPMD form of ops.correction.per_batch_var, reference
-    .compute_perbatch_var R/fastMNN.R:651-658). Two-pass (mean, then squared
-    deviations) for accuracy. Pad rows must carry origin in [0, nb)."""
-    dt = shard.dtype
-    w = valid.astype(dt)
-    cnt = _psum(jax.ops.segment_sum(w, origin, num_segments=nb))
-    sums = _psum(
-        jax.ops.segment_sum(shard * w[:, None], origin, num_segments=nb)
-    )
-    mu = sums / jnp.maximum(cnt, 1.0)[:, None]
-    dev = shard - mu[origin]
-    sq = _psum(
-        jax.ops.segment_sum(
-            jnp.sum(jnp.square(dev), axis=1) * w, origin, num_segments=nb
-        )
-    )
-    return jnp.where(cnt >= 2, sq / jnp.maximum(cnt - 1.0, 1.0), 0.0)
-
-
-def _mutual_mask_gather(lshard, rshard, lvalid, rvalid, lres, rres,
-                        k1, k2, knn_method):
-    """MNN membership mask via all-gathered opposing sets. Returns
-    (mutual, l2r, full_right, full_left)."""
-    my = lax.axis_index(CELLS_AXIS)
-    nsl = lshard.shape[0]
-    full_right = lax.all_gather(rshard, CELLS_AXIS, tiled=True)
-    full_left = lax.all_gather(lshard, CELLS_AXIS, tiled=True)
-    frv = lax.all_gather(rvalid & rres, CELLS_AXIS, tiled=True)
-    flv = lax.all_gather(lvalid & lres, CELLS_AXIS, tiled=True)
-    l2r, _ = query_knn(lshard, full_right, k2, data_mask=frv, method=knn_method)
-    r2l, _ = query_knn(rshard, full_left, k1, data_mask=flv, method=knn_method)
-    r2l_full = lax.all_gather(r2l, CELLS_AXIS, tiled=True)
-    my_ids = my * nsl + jnp.arange(nsl, dtype=l2r.dtype)
-    mutual = membership_rows(l2r, r2l_full, my_ids)
-    mutual = mutual & (lres & lvalid)[:, None]
-    return mutual, l2r, full_right, full_left
+    return pmaybe(x, CELLS_AXIS)
 
 
 def _mutual_mask_ring(lshard, rshard, lvalid, rvalid, lres, rres,
@@ -176,13 +122,13 @@ def _jitted_count(mesh: Mesh, k1: int, k2: int, knn_method: str, memory: str):
     ndev = int(mesh.devices.size)
 
     def body(lshard, rshard, lvalid, rvalid, lres, rres, lextras, rextras):
-        dt = lshard.dtype
-        rshard = _replay_extras(rshard, rres & rvalid, lextras, dt)
-        lshard = _replay_extras(lshard, lres & lvalid, rextras, dt)
+        rshard = replay_extras(rshard, rres & rvalid, lextras, CELLS_AXIS)
+        lshard = replay_extras(lshard, lres & lvalid, rextras, CELLS_AXIS)
         if memory == "gather":
-            mutual, _, _, _ = _mutual_mask_gather(
-                lshard, rshard, lvalid, rvalid, lres, rres, k1, k2, knn_method
-            )
+            mutual = _mutual_mask(
+                lshard, rshard, lvalid, rvalid, lres, rres, k1, k2,
+                knn_method, CELLS_AXIS,
+            )[0]
         else:
             mutual, _ = _mutual_mask_ring(
                 lshard, rshard, lvalid, rvalid, lres, rres, k1, k2,
@@ -209,80 +155,17 @@ def _step_local(
     k1: int, k2: int, tricube_k: int, ndist: float, min_batch_skip: float,
     knn_method: str = "exact", nb: int = 2,
 ):
-    """Per-device body of one merge step (cf. fused.fused_merge_step)."""
-    dt = lshard.dtype
-
-    # pre-merge per-batch variance, before replay (host-engine order:
-    # per_batch_var precedes orthogonalize_other, reference R/fastMNN.R:467)
-    var_old = (
-        _perbatch_var_shard(lshard, lorigin, lvalid, nb)
-        + _perbatch_var_shard(rshard, rorigin, rvalid, nb)
+    """Per-device body of one merge step: the shared merge_step_body
+    (ops/merge_math.py — the same implementation the single-device fused
+    path runs) with the mesh axis threaded through its collectives."""
+    (lshard_c, right_out, overall, magnitude, n_pairs, mutual, l2r,
+     var_old, var_new) = merge_step_body(
+        lshard, rshard, lvalid, rvalid, lres, rres, lorigin, rorigin,
+        lextras, rextras,
+        k1=k1, k2=k2, tricube_k=tricube_k, ndist=ndist,
+        min_batch_skip=min_batch_skip, knn_method=knn_method, nb=nb,
+        axis=CELLS_AXIS, with_var=True,
     )
-
-    # orthogonalization replay: extras are padded to a fixed count with
-    # zero rows so the compiled step is reusable across merge steps.
-    rshard = _replay_extras(rshard, rres & rvalid, lextras, dt)
-    lshard = _replay_extras(lshard, lres & lvalid, rextras, dt)
-
-    mutual, l2r, full_right, full_left = _mutual_mask_gather(
-        lshard, rshard, lvalid, rvalid, lres, rres, k1, k2, knn_method
-    )
-    n2 = full_right.shape[0]
-    n_pairs = _psum(jnp.sum(mutual))
-
-    def averaged(l_rows, right_full):
-        # sum over pairs of (left_i - right_j) per segment j equals
-        # (sum of paired left rows) - count_j * right_j; scan over
-        # neighbour positions (pair_segment_sums) so no (N1, k2, d) tensor
-        # materializes and no unrolled per-position HLO inflates compile.
-        lsums, counts = pair_segment_sums(l_rows, l2r, mutual, n2)
-        lsums = _psum(lsums)
-        counts = _psum(counts)
-        sums = lsums - right_full * counts[:, None]
-        return sums / jnp.maximum(counts, 1.0)[:, None], counts > 0
-
-    avg, involved = averaged(lshard, full_right)
-    n_involved = jnp.maximum(jnp.sum(involved), 1)
-    overall = jnp.sum(jnp.where(involved[:, None], avg, 0.0), axis=0) / n_involved
-    denom = jnp.sum(jnp.sum(jnp.square(avg), axis=1) * involved) / n_involved
-    num = jnp.sum(jnp.square(overall))
-    magnitude = jnp.where(
-        denom == 0, 0.0, jnp.sqrt(num / jnp.where(denom == 0, 1.0, denom))
-    )
-    do_correct = magnitude >= min_batch_skip
-
-    v = overall / jnp.sqrt(jnp.sum(jnp.square(overall)))
-    lshard_c, _ = _center_shard(lshard, lres & lvalid, v, dt)
-    rshard_c, mean_r = _center_shard(rshard, rres & rvalid, v, dt)
-    lshard_c = jnp.where(do_correct, lshard_c, lshard)
-    rshard_c = jnp.where(do_correct, rshard_c, rshard)
-
-    # post-centering per-batch variance -> lost.var (R/fastMNN.R:500-501)
-    var_new = (
-        _perbatch_var_shard(lshard_c, lorigin, lvalid, nb)
-        + _perbatch_var_shard(rshard_c, rorigin, rvalid, nb)
-    )
-
-    loc_fr = full_right @ v
-    full_right_c = jnp.where(
-        do_correct, full_right + jnp.outer(mean_r - loc_fr, v), full_right
-    )
-
-    avg2, _ = averaged(lshard_c, full_right_c)
-
-    frv_all = lax.all_gather(rvalid, CELLS_AXIS, tiled=True)
-    idx, dist = query_knn(
-        rshard_c, full_right_c, tricube_k, data_mask=involved & frv_all,
-        method=knn_method,
-    )
-    middle = -(-tricube_k // 2) - 1
-    bandwidth = jnp.maximum(dist[:, middle] * ndist, 1e-8)
-    rel = jnp.minimum(dist / bandwidth[:, None], 1.0)
-    tri = (1.0 - rel**3) ** 3
-    w = tri / jnp.sum(tri, axis=1, keepdims=True)
-    correction = jnp.einsum("nk,nkd->nd", w, avg2[idx])
-    right_out = jnp.where(do_correct, rshard_c + correction, rshard_c)
-
     return (lshard_c, right_out, overall, magnitude, n_pairs, mutual, l2r,
             var_old, var_new)
 
@@ -306,16 +189,16 @@ def _step_local_ring(
     Same semantics as _step_local up to floating-point reduction order and
     kNN tie-breaking on equal distances.
     """
-    dt = lshard.dtype
     s2 = rshard.shape[0]
+    ax = CELLS_AXIS
 
     var_old = (
-        _perbatch_var_shard(lshard, lorigin, lvalid, nb)
-        + _perbatch_var_shard(rshard, rorigin, rvalid, nb)
+        perbatch_var(lshard, lorigin, lvalid, nb, ax)
+        + perbatch_var(rshard, rorigin, rvalid, nb, ax)
     )
 
-    rshard = _replay_extras(rshard, rres & rvalid, lextras, dt)
-    lshard = _replay_extras(lshard, lres & lvalid, rextras, dt)
+    rshard = replay_extras(rshard, rres & rvalid, lextras, ax)
+    lshard = replay_extras(lshard, lres & lvalid, rextras, ax)
 
     mutual, l2r = _mutual_mask_ring(
         lshard, rshard, lvalid, rvalid, lres, rres, k1, k2, knn_method, ndev
@@ -328,26 +211,19 @@ def _step_local_ring(
         return sums / jnp.maximum(counts, 1.0)[:, None], counts > 0
 
     avg, involved = averaged(lshard, rshard)
-    n_involved = jnp.maximum(_psum(jnp.sum(involved)), 1)
-    overall = _psum(
-        jnp.sum(jnp.where(involved[:, None], avg, 0.0), axis=0)) / n_involved
-    denom = _psum(
-        jnp.sum(jnp.sum(jnp.square(avg), axis=1) * involved)) / n_involved
-    num = jnp.sum(jnp.square(overall))
-    magnitude = jnp.where(
-        denom == 0, 0.0, jnp.sqrt(num / jnp.where(denom == 0, 1.0, denom))
-    )
+    # the averaged-correction table stays sharded -> stats reduce over the mesh
+    overall, magnitude = batch_vector_stats(avg, involved, ax)
     do_correct = magnitude >= min_batch_skip
 
     v = overall / jnp.sqrt(jnp.sum(jnp.square(overall)))
-    lshard_c, _ = _center_shard(lshard, lres & lvalid, v, dt)
-    rshard_c, _ = _center_shard(rshard, rres & rvalid, v, dt)
+    lshard_c, _ = center_along(lshard, lres & lvalid, v, ax)
+    rshard_c, _ = center_along(rshard, rres & rvalid, v, ax)
     lshard_c = jnp.where(do_correct, lshard_c, lshard)
     rshard_c = jnp.where(do_correct, rshard_c, rshard)
 
     var_new = (
-        _perbatch_var_shard(lshard_c, lorigin, lvalid, nb)
-        + _perbatch_var_shard(rshard_c, rorigin, rvalid, nb)
+        perbatch_var(lshard_c, lorigin, lvalid, nb, ax)
+        + perbatch_var(rshard_c, rorigin, rvalid, nb, ax)
     )
 
     avg2, _ = averaged(lshard_c, rshard_c)
@@ -355,11 +231,7 @@ def _step_local_ring(
     idx, dist = ring_query_knn_local(
         rshard_c, rshard_c, involved & rvalid, tricube_k, ndev,
         method=knn_method)
-    middle = -(-tricube_k // 2) - 1
-    bandwidth = jnp.maximum(dist[:, middle] * ndist, 1e-8)
-    rel = jnp.minimum(dist / bandwidth[:, None], 1.0)
-    tri = (1.0 - rel**3) ** 3
-    w = tri / jnp.sum(tri, axis=1, keepdims=True)
+    w = tricube_weights(dist, ndist)
     correction = ring_weighted_gather(idx, w, avg2, s2, ndev)
     right_out = jnp.where(do_correct, rshard_c + correction, rshard_c)
 

@@ -25,6 +25,36 @@ def test_fused_matches_host_path(rng):
     assert ours == theirs0
 
 
+def test_tricube_degenerate_fewer_involved_than_k(rng):
+    """Fewer MNN-involved cells than the tricube k: the fused/driver path
+    (masked kNN + shared tricube_weights) must match the host path, which
+    shrinks k to the involved count (reference R/fastMNN.R:599-608
+    min(k, nrow(data)); round-2 verdict: the fused path previously pinned a
+    static k here)."""
+    from batchelor_tpu.ops.correction import (
+        tricube_weighted_correction,
+        tricube_weights,
+    )
+    from batchelor_tpu.ops.knn import query_knn
+
+    cur = jnp.asarray(rng.normal(size=(50, 8)))
+    involved = np.array([3, 10, 17, 25, 33, 44])       # 6 involved << k=20
+    avg_compact = jnp.asarray(rng.normal(size=(6, 8)))
+
+    host = tricube_weighted_correction(cur, avg_compact, involved, k=20)
+
+    avg_full = jnp.zeros((50, 8)).at[jnp.asarray(involved)].set(avg_compact)
+    mask = np.zeros(50, dtype=bool)
+    mask[involved] = True
+    idx, dist = query_knn(cur, cur, 20, data_mask=jnp.asarray(mask))
+    assert not bool(np.isfinite(np.asarray(dist)).all())  # truly degenerate
+    w = tricube_weights(dist)
+    fusedlike = cur + jnp.einsum("nk,nkd->nd", w, avg_full[idx])
+
+    assert np.allclose(np.asarray(host), np.asarray(fusedlike), atol=1e-10)
+    assert np.isfinite(np.asarray(fusedlike)).all()
+
+
 def test_fused_skip_behaviour(rng):
     b1 = rng.normal(size=(200, 10))
     b2 = rng.normal(size=(200, 10))
