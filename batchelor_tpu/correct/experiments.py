@@ -71,6 +71,10 @@ class SingleCellDataset:
 
 
 def _as_matrices(inputs, assay_type):
+    # a bare matrix/dataset is a single input (reference .unpackLists);
+    # iterating a 2-D array here would silently treat every row as a batch
+    if not isinstance(inputs, (list, tuple)):
+        inputs = [inputs]
     out = []
     for x in inputs:
         if isinstance(x, SingleCellDataset):
@@ -376,13 +380,15 @@ def quick_correct(
         if batch is None:
             raise ValueError("'batch' must be specified with a single input")
         batch = np.asarray(batch)
+        # preserve.single path (reference R/quickCorrect.R:81-85): the
+        # normalized object keeps the input cell order.
+        norm = multi_batch_norm(mats[0], batch=batch, min_mean=min_mean)
+        stacked = norm.logcounts
         split = [np.nonzero(batch == b)[0] for b in sorted(set(batch.tolist()))]
-        per_batch = [mats[0][jnp.asarray(i)] for i in split]
+        logs = [stacked[jnp.asarray(i)] for i in split]
     else:
-        per_batch = mats
-
-    norm = multi_batch_norm(per_batch, min_mean=min_mean)
-    logs = norm.logcounts
+        norm = multi_batch_norm(mats, min_mean=min_mean)
+        logs = norm.logcounts
 
     if precomputed is None:
         decs = [model_gene_var(lg) for lg in logs]
@@ -393,11 +399,6 @@ def quick_correct(
     hvgs = get_top_hvgs(dec, n=hvg_n)
 
     if single:
-        # stitch normalized per-batch blocks back into input order
-        order = np.concatenate(split)
-        inv = np.empty_like(order)
-        inv[order] = np.arange(order.shape[0])
-        stacked = jnp.concatenate(logs, axis=0)[jnp.asarray(inv)]
         corrected = batch_correct(
             stacked, batch, restrict=restrict, subset_row=hvgs,
             correct_all=correct_all, params=params, batch_names=batch_names,

@@ -165,19 +165,29 @@ def _select_subchunks(m32, k: int, interpret: bool = False):
 
     nq, c32 = m32.shape
     c128 = c32 // RATIO
-    m128 = jnp.max(m32.reshape(nq, c128, RATIO), axis=2)
+    # pad the chunk count to a 128-multiple: the (nq, c128, RATIO)
+    # take_along_axis below crashes the TPU runtime at unaligned chunk
+    # counts (kernel fault observed at c128=72; fine at 768), and -inf pad
+    # chunks are never selected while real candidates remain (topk_rows
+    # resolves ties to the lower index). The 16-byte-slice 3-D gather is
+    # ~2x faster than the equivalent flat per-scalar gather (90 vs 170 ms
+    # select at 98304^2).
+    c128p = max(-(-c128 // 128) * 128, 128)
+    if c128p != c128:
+        m32 = jnp.pad(m32, ((0, 0), (0, (c128p - c128) * RATIO)),
+                      constant_values=-jnp.inf)
+    m128 = jnp.max(m32.reshape(nq, c128p, RATIO), axis=2)
     kc = min(k, c128)
     _, top_chunks = _topk(m128, kc)                  # (nq, kc)
+    sub = jnp.take_along_axis(
+        m32.reshape(nq, c128p, RATIO), top_chunks[:, :, None], axis=1
+    )                                                # (nq, kc, RATIO)
     sub_ids = (
         top_chunks[:, :, None] * RATIO
         + jnp.arange(RATIO, dtype=jnp.int32)[None, None, :]
     ).reshape(nq, RATIO * kc)
-    # flat 2-D gather: the 3-D take_along_axis form crashes the TPU runtime
-    # at unaligned chunk counts (observed at c128=72), and the flat gather
-    # is equivalent.
-    sub = jnp.take_along_axis(m32, sub_ids, axis=1)  # (nq, RATIO*kc)
     ks = min(k, RATIO * kc)
-    _, pos = _topk(sub, ks)
+    _, pos = _topk(sub.reshape(nq, RATIO * kc), ks)
     return jnp.take_along_axis(sub_ids, pos, axis=1)  # (nq, ks)
 
 

@@ -11,7 +11,7 @@ Orientation: cells in rows (N, G); per-cell size factors are length N.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -108,14 +108,17 @@ def rescale_size_factors(
 @dataclass
 class MultiBatchNormResult:
     """Outputs of :func:`multi_batch_norm`: per-batch log-normalized
-    matrices and the rescaled per-cell size factors."""
+    matrices and the rescaled per-cell size factors (lists for list input;
+    a single input-order matrix/vector for single-input
+    ``preserve_single``, mirroring the reference's return contract)."""
 
-    logcounts: List[jnp.ndarray]
-    size_factors: List[jnp.ndarray]
+    logcounts: Any
+    size_factors: Any
 
 
 def multi_batch_norm(
-    batches: Sequence[jnp.ndarray],
+    batches,
+    batch: Optional[Sequence] = None,
     *,
     size_factors: Optional[Sequence[Optional[jnp.ndarray]]] = None,
     min_mean: float = 1.0,
@@ -123,13 +126,62 @@ def multi_batch_norm(
     normalize_all: bool = False,
     pseudo_count: float = 1.0,
     log_base: float = 2.0,
+    preserve_single: bool = True,
 ) -> MultiBatchNormResult:
     """Cross-batch scaling normalization (reference multiBatchNorm).
 
-    ``batches``: per-batch count matrices (N_b, G). Per-batch statistics use
-    ``subset_row`` genes; the output is subsetted too unless
-    ``normalize_all`` (reference R/multiBatchNorm.R:140-170).
+    ``batches``: per-batch count matrices (N_b, G), or a single (N, G)
+    matrix together with a per-cell ``batch`` factor
+    (reference R/multiBatchNorm.R:93-121). With a single input and
+    ``preserve_single`` (the default, like the reference), the result's
+    ``logcounts``/``size_factors`` are the single re-assembled (N, G)
+    matrix / (N,) vector in the input cell order
+    (R/multiBatchNorm.R:57, :105-116); otherwise the input is fragmented
+    per batch level (sorted like R factors) and a list is returned.
+
+    Per-batch statistics use ``subset_row`` genes; the output is subsetted
+    too unless ``normalize_all`` (reference R/multiBatchNorm.R:140-170).
     """
+    if not isinstance(batches, (list, tuple)):
+        x = jnp.asarray(batches)
+        if batch is None:
+            raise ValueError(
+                "'batch' must be specified if a single matrix is supplied"
+            )
+        from ..utils.batching import divide_into_batches
+
+        divided = divide_into_batches(
+            np.arange(x.shape[0]), batch, cells_in_rows=True
+        )
+        idx_per = [np.asarray(i) for i in divided.batches]
+        per = [x[jnp.asarray(i)] for i in idx_per]
+        per_sf = None
+        if size_factors is not None:
+            sfv = jnp.asarray(size_factors)
+            if sfv.shape[0] != x.shape[0]:
+                raise ValueError(
+                    "'size_factors' must have one entry per cell for a "
+                    "single input"
+                )
+            per_sf = [sfv[jnp.asarray(i)] for i in idx_per]
+        out = multi_batch_norm(
+            per, size_factors=per_sf, min_mean=min_mean,
+            subset_row=subset_row, normalize_all=normalize_all,
+            pseudo_count=pseudo_count, log_base=log_base,
+        )
+        if not preserve_single:
+            return out
+        # re-assemble in input cell order (reference preserve.single)
+        order = np.concatenate(idx_per)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.shape[0])
+        inv_j = jnp.asarray(inv)
+        logc = jnp.concatenate(out.logcounts, axis=0)[inv_j]
+        sf = jnp.concatenate(out.size_factors, axis=0)[inv_j]
+        return MultiBatchNormResult(logcounts=logc, size_factors=sf)
+
+    if batch is not None:
+        raise ValueError("'batch' is only used with a single input matrix")
     batches = [jnp.asarray(b) for b in batches]
     nb = len(batches)
     if nb == 0:

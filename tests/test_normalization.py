@@ -89,3 +89,60 @@ def test_log_norm_counts():
     sf = jnp.asarray(np.array([2.0, 1.0]))
     out = np.asarray(log_norm_counts(x, sf))
     assert np.allclose(out, np.log2(np.array([[2.0, 4.0], [2.0, 2.0]]) + 1))
+
+
+def test_single_input_fragment_matches_list(rng):
+    """Single matrix + batch factor with preserve_single=False fragments per
+    level and matches the list call (reference test-multi-norm.R:148-170)."""
+    x1 = _counts(rng, 40, 80, scale=5.0) + 1.0
+    x2 = x1 * rng.uniform(1.5, 2.5, size=(1, 80))
+    x3 = x1 * rng.uniform(2.5, 3.5, size=(1, 80))
+    ref = multi_batch_norm([jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(x3)])
+    combined = jnp.asarray(np.concatenate([x1, x2, x3], axis=0))
+    batch = np.repeat([1, 2, 3], 40)
+    alt = multi_batch_norm(combined, batch=batch, preserve_single=False)
+    for r, a in zip(ref.logcounts, alt.logcounts):
+        assert np.allclose(np.asarray(r), np.asarray(a), atol=1e-12)
+    for r, a in zip(ref.size_factors, alt.size_factors):
+        assert np.allclose(np.asarray(r), np.asarray(a), atol=1e-12)
+    # reversed batch labels permute the output list (levels sorted)
+    alt2 = multi_batch_norm(
+        combined, batch=np.repeat([3, 2, 1], 40), preserve_single=False
+    )
+    for r, a in zip(ref.logcounts, alt2.logcounts[::-1]):
+        assert np.allclose(np.asarray(r), np.asarray(a), atol=1e-12)
+
+
+def test_single_input_preserve_single(rng):
+    """preserve_single=True returns one matrix/vector in input cell order
+    (reference test-multi-norm.R:182-200 and R/multiBatchNorm.R:57)."""
+    x1 = _counts(rng, 30, 60, scale=5.0) + 1.0
+    x2 = x1 * rng.uniform(1.5, 2.5, size=(1, 60))
+    combined = np.concatenate([x1, x2], axis=0)
+    # interleave cells so input order != batch-block order
+    perm = rng.permutation(60)
+    batch = np.repeat([1, 2], 30)[perm]
+    shuffled = jnp.asarray(combined[perm])
+    single = multi_batch_norm(shuffled, batch=batch)
+    frags = multi_batch_norm(shuffled, batch=batch, preserve_single=False)
+    assert single.logcounts.shape == (60, 60)
+    stacked = np.concatenate([np.asarray(m) for m in frags.logcounts])
+    order = np.concatenate(
+        [np.nonzero(batch == b)[0] for b in (1, 2)]
+    )
+    inv = np.empty_like(order)
+    inv[order] = np.arange(60)
+    assert np.allclose(np.asarray(single.logcounts), stacked[inv], atol=1e-12)
+    # subsetting: subset first then normalize == normalize with subset_row
+    a = multi_batch_norm(shuffled[:, :20], batch=batch)
+    b = multi_batch_norm(shuffled, batch=batch, subset_row=np.arange(20))
+    assert np.allclose(np.asarray(a.logcounts), np.asarray(b.logcounts), atol=1e-12)
+
+
+def test_single_input_requires_batch(rng):
+    x = _counts(rng, 10, 20)
+    try:
+        multi_batch_norm(jnp.asarray(x))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "batch" in str(e)
