@@ -139,6 +139,10 @@ def quick_correct_csr(
     block_rows: int = 8192,
     weights=None,
     batch_names: Optional[Sequence[str]] = None,
+    mesh=None,
+    memory: str = "gather",
+    pad_buckets: bool = False,
+    checkpoint_dir: Optional[str] = None,
 ) -> QuickCorrectResult:
     """quickCorrect over out-of-core CSR stores (counts, cells in rows).
 
@@ -147,6 +151,14 @@ def quick_correct_csr(
     Restricted to pseudo_count=1 (the default), which is what keeps the
     log transform sparsity-preserving. Returns the same QuickCorrectResult
     (variance decomposition, HVG indices, MNNResult with rotation/centers).
+
+    With ``mesh`` the heavy stages run on the distributed engine: the
+    streamed Gram PCA shards each block over the mesh and the merge loop is
+    parallel.driver.distributed_fast_mnn (``memory``/``pad_buckets``/
+    ``checkpoint_dir`` pass through) — the CSR-store -> sharded-PCA ->
+    distributed-merge route for BASELINE configs 4/5 (the reference's
+    analog composes DelayedArray blocks with BPPARAM-parallel PCA,
+    R/multiBatchPCA.R:217-219).
     """
     if len(stores) < 2:
         raise ValueError("at least two batches must be specified")
@@ -213,14 +225,34 @@ def quick_correct_csr(
     # stage 5: streamed Gram PCA + MNN on coordinates
     pca = multi_batch_pca_csr(
         transformed, d=d, weights=weights, block_rows=block_rows,
-        batch_names=batch_names,
+        batch_names=batch_names, mesh=mesh,
     )
-    res = reduced_mnn(
-        [jnp.asarray(c) for c in pca.components],
-        k=k, prop_k=prop_k, ndist=ndist, merge_order=merge_order,
-        auto_merge=auto_merge, min_batch_skip=min_batch_skip,
-        batch_names=batch_names, knn_method=knn_method,
-    )
+    if mesh is not None:
+        from ..parallel.driver import distributed_fast_mnn
+
+        res = distributed_fast_mnn(
+            [jnp.asarray(c) for c in pca.components], mesh,
+            k=k, prop_k=prop_k, ndist=ndist, merge_order=merge_order,
+            auto_merge=auto_merge,
+            min_batch_skip=(0.0 if min_batch_skip is None else min_batch_skip),
+            knn_method=("exact" if knn_method == "auto" else knn_method),
+            memory=memory, pad_buckets=pad_buckets,
+            checkpoint_dir=checkpoint_dir,
+        )
+        if batch_names is not None:
+            names = np.asarray(list(batch_names))
+            res.batch = names[np.asarray(res.batch)]
+            for info in res.merge_info:
+                info.left = [batch_names[i] for i in info.left]
+                info.right = [batch_names[i] for i in info.right]
+            res.batch_names = list(batch_names)
+    else:
+        res = reduced_mnn(
+            [jnp.asarray(c) for c in pca.components],
+            k=k, prop_k=prop_k, ndist=ndist, merge_order=merge_order,
+            auto_merge=auto_merge, min_batch_skip=min_batch_skip,
+            batch_names=batch_names, knn_method=knn_method,
+        )
     res = MNNResult(
         corrected=res.corrected,
         batch=res.batch,

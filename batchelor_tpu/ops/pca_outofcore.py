@@ -44,18 +44,37 @@ def multi_batch_pca_csr(
     block_rows: int = 8192,
     eig_method: str = "auto",
     batch_names: Optional[Sequence[str]] = None,
+    mesh=None,
 ) -> MultiBatchPCAResult:
     """Weighted multi-batch PCA streaming CSR batches block-by-block.
 
     Numerically equivalent to multi_batch_pca on the densified inputs
     (same grand-mean centering and per-batch 1/sqrt(N_b/w_b) scaling), but
     the input is never densified at once.
+
+    With ``mesh``, each streamed block is row-sharded over the mesh and the
+    G x G accumulation / projection matmuls run SPMD (GSPMD inserts the
+    reduction collectives) — the bridge between the out-of-core store and
+    the distributed engine (the analog of the reference feeding
+    DelayedArray blocks to BPPARAM-parallel PCA, R/multiBatchPCA.R:217-219).
     """
     if subset_row is not None:
         batches = [c.select_genes(subset_row) for c in batches]
     g = batches[0].n_genes
     ns = [c.n_cells for c in batches]
     w = construct_weight_vector(ns, weights, batch_names)
+
+    put = jnp.asarray
+    if mesh is not None:
+        from ..parallel.mesh import cells_sharding
+
+        _shard = cells_sharding(mesh)
+        ndev = mesh.devices.size
+        if block_rows % ndev:
+            block_rows = -(-block_rows // ndev) * ndev
+
+        def put(x):  # noqa: F811 — sharded device_put for streamed blocks
+            return jax.device_put(jnp.asarray(x), _shard)
 
     # pass 1: per-batch gene sums + raw Gram accumulators
     grams = []
@@ -65,7 +84,7 @@ def multi_batch_pca_csr(
         acc_s = jnp.zeros((g,), jnp.float32)
         for block, n_valid in dense_blocks(csr, block_rows=block_rows):
             mask = jnp.arange(block.shape[0]) < n_valid
-            bg, bs = _block_gram(jnp.asarray(block), mask)
+            bg, bs = _block_gram(put(block), mask)
             acc_g = acc_g + bg
             acc_s = acc_s + bs
         grams.append(acc_g)
@@ -99,7 +118,7 @@ def multi_batch_pca_csr(
     for csr in batches:
         outs = []
         for block, n_valid in dense_blocks(csr, block_rows=block_rows):
-            proj = (jnp.asarray(block) - centers[None, :]) @ v
+            proj = (put(block) - centers[None, :]) @ v
             outs.append(np.asarray(proj[:n_valid]))
         components.append(jnp.asarray(np.concatenate(outs, axis=0)))
 
