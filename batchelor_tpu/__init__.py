@@ -43,6 +43,7 @@ from .correct.dispatch import (
 )
 from .correct.diagnostics import (
     mnn_delta_variance,
+    mnn_delta_variance_blocked,
     cluster_abundance_test,
     cluster_abundance_var,
     fit_trend_var,

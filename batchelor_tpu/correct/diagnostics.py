@@ -17,6 +17,7 @@ from ..ops.cosine_norm import apply_cosine_norm, cosine_norm
 __all__ = [
     "fit_trend_var",
     "mnn_delta_variance",
+    "mnn_delta_variance_blocked",
     "cluster_abundance_test",
     "cluster_abundance_var",
     "MnnDeltaVarianceResult",
@@ -206,6 +207,10 @@ def mnn_delta_variance(
         )
         npairs.append(n)
 
+    return _combine_steps(per_step, npairs)
+
+
+def _combine_steps(per_step, npairs) -> MnnDeltaVarianceResult:
     # combine across steps, weighting by RAW pair count, steps with >=2
     # pairs: the reference passes weights=npairs / valid=npairs>=2L
     # explicitly to scran::combineBlocks (R/mnnDeltaVariance.R:168-173),
@@ -228,6 +233,152 @@ def mnn_delta_variance(
         adjusted=comb("adjusted"),
         per_step=per_step,
     )
+
+
+@jax.jit
+def _chunk_moments(a, b, valid):
+    """Per-gene partial sums for one pair chunk: (sum a, sum b, sum delta,
+    sum delta^2), pad rows masked."""
+    m = valid[:, None]
+    a = jnp.where(m, a, 0.0)
+    b = jnp.where(m, b, 0.0)
+    d = a - b
+    return (
+        jnp.sum(a, axis=0),
+        jnp.sum(b, axis=0),
+        jnp.sum(d, axis=0),
+        jnp.sum(jnp.square(d), axis=0),
+    )
+
+
+def mnn_delta_variance_blocked(
+    batches: Sequence,
+    pairs: Sequence[np.ndarray],
+    *,
+    cos_norm: bool = False,
+    subset_row: Optional[np.ndarray] = None,
+    compute_all: bool = False,
+    trend_span: float = 0.3,
+    chunk_pairs: int = 2048,
+) -> MnnDeltaVarianceResult:
+    """Block-processed mnn_delta_variance for host-resident batches.
+
+    ``batches``: per-batch host numpy arrays OR CSRCells stores (cells in
+    rows) — nothing densifies beyond one (chunk_pairs, G) block, so the
+    full-gene-space diagnostic runs at atlas scale (the reference streams
+    the same computation over row blocks via blockApply,
+    R/mnnDeltaVariance.R:145). Matches :func:`mnn_delta_variance` on dense
+    inputs: per-step variances are accumulated as fp64 moment sums over
+    device-reduced pair chunks.
+    """
+    from ..io.csr import CSRCells
+
+    sizes = []
+    for b in batches:
+        sizes.append(b.n_cells if isinstance(b, CSRCells) else b.shape[0])
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    g = (
+        batches[0].n_genes
+        if isinstance(batches[0], CSRCells)
+        else batches[0].shape[1]
+    )
+
+    # cosine-norm row scales (reference R/mnnDeltaVariance.R:137-143 via
+    # cosineNorm; the dense path scales by l2 / mean-of-batch-mean-l2)
+    row_scale = None
+    if cos_norm:
+        sub = None if subset_row is None else np.asarray(subset_row)
+        l2s = []
+        for b in batches:
+            if isinstance(b, CSRCells):
+                s = b if sub is None else b.select_genes(sub)
+                sq = np.zeros(s.n_cells, np.float64)
+                counts = np.diff(s.indptr)
+                nz = counts > 0
+                if nz.any():
+                    sq[nz] = np.add.reduceat(
+                        s.data.astype(np.float64) ** 2, s.indptr[:-1][nz]
+                    )
+                l2s.append(np.sqrt(sq))
+            else:
+                x = np.asarray(b, dtype=np.float64)
+                if sub is not None:
+                    x = x[:, sub]
+                l2s.append(np.sqrt(np.sum(x * x, axis=1)))
+        ml2 = float(np.mean([v.mean() for v in l2s]))
+        row_scale = np.concatenate(
+            [ml2 / np.maximum(v, 1e-8) for v in l2s]
+        ).astype(np.float32)
+
+    keep = None
+    if subset_row is not None and not compute_all:
+        keep = np.asarray(subset_row)
+        g_out = keep.size
+        subset_after = None
+    else:
+        g_out = g
+        subset_after = None if subset_row is None else np.asarray(subset_row)
+
+    def gather(rows: np.ndarray) -> np.ndarray:
+        """(len(rows), g_out) float32 rows of the virtual concat."""
+        out = np.empty((rows.size, g_out), np.float32)
+        which = np.searchsorted(offsets, rows, side="right") - 1
+        for bi in np.unique(which):
+            sel = np.nonzero(which == bi)[0]
+            local = rows[sel] - offsets[bi]
+            b = batches[bi]
+            if isinstance(b, CSRCells):
+                dense = b.select_cells(local).to_dense()
+            else:
+                dense = np.asarray(b)[local]
+            if keep is not None:
+                dense = dense[:, keep]
+            out[sel] = dense
+        if row_scale is not None:
+            out *= row_scale[rows][:, None]
+        return out
+
+    per_step, npairs = [], []
+    for p in pairs:
+        p = np.asarray(p)
+        n = p.shape[0]
+        s1 = np.zeros(g_out, np.float64)
+        s2 = np.zeros(g_out, np.float64)
+        sd = np.zeros(g_out, np.float64)
+        sdd = np.zeros(g_out, np.float64)
+        for lo in range(0, n, chunk_pairs):
+            hi = min(lo + chunk_pairs, n)
+            c = hi - lo
+            a = gather(p[lo:hi, 0])
+            b = gather(p[lo:hi, 1])
+            if c < chunk_pairs:  # pad for a single compiled chunk shape
+                pad = chunk_pairs - c
+                a = np.vstack([a, np.zeros((pad, g_out), np.float32)])
+                b = np.vstack([b, np.zeros((pad, g_out), np.float32)])
+            valid = jnp.arange(chunk_pairs) < c
+            ca, cb, cd, cdd = _chunk_moments(
+                jnp.asarray(a), jnp.asarray(b), valid
+            )
+            s1 += np.asarray(ca, np.float64)
+            s2 += np.asarray(cb, np.float64)
+            sd += np.asarray(cd, np.float64)
+            sdd += np.asarray(cdd, np.float64)
+        mean = (s1 / n + s2 / n) / 2.0
+        if n >= 2:
+            var = np.maximum(sdd - n * (sd / n) ** 2, 0.0) / (n - 1)
+        else:
+            var = np.full(g_out, np.nan)
+        sel_mean, sel_var = mean, var
+        if subset_after is not None:
+            sel_mean, sel_var = mean[subset_after], var[subset_after]
+        trend_fn = fit_trend_var(sel_mean, sel_var, span=trend_span)
+        trend = trend_fn(mean)
+        per_step.append(
+            {"mean": mean, "total": var, "trend": trend, "adjusted": var - trend}
+        )
+        npairs.append(n)
+
+    return _combine_steps(per_step, npairs)
 
 
 def _abundance_table(x, batch=None) -> np.ndarray:
