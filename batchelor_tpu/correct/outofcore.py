@@ -99,20 +99,14 @@ def _lognorm_cosine_csr(store: CSRCells, sf: np.ndarray, log_base: float,
                         cos_norm: bool) -> CSRCells:
     """Value transform: v -> log(v/sf + 1)/log(base), then per-cell L2
     normalization — zeros stay zero so the CSR pattern is unchanged
-    (cosineNorm zero guard: reference R/cosineNorm.R:80)."""
-    counts = np.diff(store.indptr)
-    row_sf = np.repeat(sf.astype(np.float64), counts)
-    vals = np.log1p(store.data.astype(np.float64) / row_sf) / np.log(log_base)
-    if cos_norm:
-        sq = np.zeros(store.n_cells, np.float64)
-        nz = counts > 0
-        starts = store.indptr[:-1][nz]
-        seg = np.add.reduceat(vals * vals, starts) if starts.size else np.zeros(0)
-        sq[nz] = seg
-        l2 = np.maximum(np.sqrt(sq), 1e-8)
-        vals = vals / np.repeat(l2, counts)
+    (cosineNorm zero guard: reference R/cosineNorm.R:80). Runs the threaded
+    native runtime over the nnz buffer (numpy fallback inside the binding);
+    the reference's equivalents are compiled dgCMatrix methods."""
+    from ..native.bindings import csr_lognorm_cosine
+
+    vals = csr_lognorm_cosine(store.data, store.indptr, sf, log_base, cos_norm)
     return CSRCells(
-        data=vals.astype(np.float32),
+        data=vals,
         indices=store.indices,
         indptr=store.indptr,
         n_genes=store.n_genes,
@@ -313,6 +307,8 @@ def rescale_batches_csr(
         if s.n_genes != g:
             raise ValueError("number of features is not the same across batches")
 
+    from ..native.bindings import csr_rescale_values, csr_unlog_colsums
+
     lb = float(log_base)
     averages = []
     for i, s in enumerate(stores):
@@ -320,8 +316,7 @@ def rescale_batches_csr(
             sub = s.select_cells(np.asarray(restrict[i]))
         else:
             sub = s
-        u = np.power(lb, sub.data.astype(np.float64)) - 1.0
-        sums = np.bincount(sub.indices, weights=u, minlength=g)
+        sums = csr_unlog_colsums(sub.data, sub.indices, g, lb)
         averages.append(sums / max(sub.n_cells, 1))
 
     reference = np.minimum.reduce(averages)
@@ -330,11 +325,10 @@ def rescale_batches_csr(
         with np.errstate(invalid="ignore", divide="ignore"):
             scale = reference / a
         scale[~np.isfinite(scale)] = 0.0
-        u = np.power(lb, s.data.astype(np.float64)) - 1.0
-        vals = np.log1p(u * scale[s.indices]) / np.log(lb)
+        vals = csr_rescale_values(s.data, s.indices, scale, lb)
         out.append(
             CSRCells(
-                data=vals.astype(np.float32),
+                data=vals,
                 indices=s.indices,
                 indptr=s.indptr,
                 n_genes=g,

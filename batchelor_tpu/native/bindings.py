@@ -75,6 +75,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.bt_csr_select_columns.argtypes = [
             f32p, i32p, i64p, i64, i32p, f32p, i32p, i64p,
         ]
+        f64 = ctypes.c_double
+        lib.bt_csr_lognorm_cosine.restype = None
+        lib.bt_csr_lognorm_cosine.argtypes = [
+            f32p, i64p, i64, f32p, f64, ctypes.c_int, f32p,
+        ]
+        lib.bt_csr_unlog_colsums.restype = None
+        lib.bt_csr_unlog_colsums.argtypes = [f32p, i32p, i64, i64, f64, f64p]
+        lib.bt_csr_rescale.restype = None
+        lib.bt_csr_rescale.argtypes = [f32p, i32p, i64, f64p, f64, f32p]
         _lib = lib
         return _lib
 
@@ -199,3 +208,68 @@ def csr_select_columns(data, indices, indptr, col_map):
     counts = counts * (np.diff(indptr) > 0)
     out_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     return out_data, out_indices.astype(np.int32), out_indptr
+
+
+def csr_lognorm_cosine(data, indptr, sf, log_base, cos_norm) -> np.ndarray:
+    """Threaded v -> log(v/sf_row + 1)/log(base) [+ per-row L2 norm] over
+    the nnz buffer; numpy fallback preserves exact semantics."""
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    sf = np.ascontiguousarray(sf, dtype=np.float32)
+    nrows = indptr.shape[0] - 1
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty_like(data)
+        lib.bt_csr_lognorm_cosine(
+            _ptr(data, ctypes.c_float), _ptr(indptr, ctypes.c_int64), nrows,
+            _ptr(sf, ctypes.c_float), float(log_base), int(bool(cos_norm)),
+            _ptr(out, ctypes.c_float),
+        )
+        return out
+    counts = np.diff(indptr)
+    row_sf = np.repeat(sf.astype(np.float64), counts)
+    vals = np.log1p(data.astype(np.float64) / row_sf) / np.log(log_base)
+    if cos_norm:
+        sq = np.zeros(nrows, np.float64)
+        nz = counts > 0
+        starts = indptr[:-1][nz]
+        if starts.size:
+            sq[nz] = np.add.reduceat(vals * vals, starts)
+        l2 = np.maximum(np.sqrt(sq), 1e-8)
+        vals = vals / np.repeat(l2, counts)
+    return vals.astype(np.float32)
+
+
+def csr_unlog_colsums(data, indices, ncols, log_base) -> np.ndarray:
+    """Per-gene sums of (base^v - 1) over the nnz buffer (count-space
+    column sums of a logged CSR matrix)."""
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(ncols, dtype=np.float64)
+        lib.bt_csr_unlog_colsums(
+            _ptr(data, ctypes.c_float), _ptr(indices, ctypes.c_int32),
+            data.shape[0], ncols, float(log_base), _ptr(out, ctypes.c_double),
+        )
+        return out
+    u = np.expm1(data.astype(np.float64) * np.log(log_base))
+    return np.bincount(indices, weights=u, minlength=ncols)
+
+
+def csr_rescale_values(data, indices, scale, log_base) -> np.ndarray:
+    """Threaded v -> log1p((base^v - 1) * scale[gene]) / log(base)."""
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    scale = np.ascontiguousarray(scale, dtype=np.float64)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty_like(data)
+        lib.bt_csr_rescale(
+            _ptr(data, ctypes.c_float), _ptr(indices, ctypes.c_int32),
+            data.shape[0], _ptr(scale, ctypes.c_double), float(log_base),
+            _ptr(out, ctypes.c_float),
+        )
+        return out
+    u = np.expm1(data.astype(np.float64) * np.log(log_base))
+    return (np.log1p(u * scale[indices]) / np.log(log_base)).astype(np.float32)

@@ -12,6 +12,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <numeric>
@@ -200,6 +201,84 @@ int64_t bt_csr_select_columns(const float* data, const int32_t* indices,
   return pos;
 }
 
-int bt_version() { return 1; }
+// Sparse log-normalize + optional cosine normalization, in place over the
+// value buffer: v -> log(v/sf_row + 1)/log(base), then per-row division by
+// max(l2, 1e-8) (cosineNorm zero guard, reference R/cosineNorm.R:80).
+// Zeros stay zero, so only the nnz values are touched — the threaded
+// replacement for the host-numpy loop in correct/outofcore.py (the
+// reference's equivalent transforms are compiled dgCMatrix methods).
+void bt_csr_lognorm_cosine(const float* data, const int64_t* indptr,
+                           int64_t nrows, const float* sf, double log_base,
+                           int cos_norm, float* out) {
+  const double inv_log = 1.0 / std::log(log_base);
+  parallel_for(nrows, [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      const double s = sf[r];
+      double sq = 0.0;
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const double v = std::log1p(static_cast<double>(data[p]) / s) * inv_log;
+        out[p] = static_cast<float>(v);
+        sq += v * v;
+      }
+      if (cos_norm) {
+        const double l2 = std::max(std::sqrt(sq), 1e-8);
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+          out[p] = static_cast<float>(static_cast<double>(out[p]) / l2);
+        }
+      }
+    }
+  }, 64);
+}
+
+// Per-gene sums of unlogged values: sum over nnz of (base^v - 1) into
+// out_sums[ncols] (the count-space per-gene averages feeding
+// rescaleBatches, reference R/rescaleBatches.R:102-148). Thread-local
+// accumulators merged at the end.
+void bt_csr_unlog_colsums(const float* data, const int32_t* indices,
+                          int64_t nnz, int64_t ncols, double log_base,
+                          double* out_sums) {
+  const double lb = std::log(log_base);
+  int nt = hardware_threads();
+  if (nnz < 4096 || nt <= 1) {
+    std::fill(out_sums, out_sums + ncols, 0.0);
+    for (int64_t p = 0; p < nnz; ++p)
+      out_sums[indices[p]] += std::expm1(static_cast<double>(data[p]) * lb);
+    return;
+  }
+  nt = static_cast<int>(std::min<int64_t>(nt, nnz / 2048));
+  std::vector<std::vector<double>> local(nt, std::vector<double>(ncols, 0.0));
+  std::vector<std::thread> threads;
+  int64_t chunk = (nnz + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(lo + chunk, nnz);
+    if (lo >= hi) break;
+    threads.emplace_back([&, t, lo, hi] {
+      double* acc = local[t].data();
+      for (int64_t p = lo; p < hi; ++p)
+        acc[indices[p]] += std::expm1(static_cast<double>(data[p]) * lb);
+    });
+  }
+  for (auto& th : threads) th.join();
+  std::fill(out_sums, out_sums + ncols, 0.0);
+  for (auto& acc : local)
+    for (int64_t c = 0; c < ncols; ++c) out_sums[c] += acc[c];
+}
+
+// Per-gene rescale in log space: v -> log1p((base^v - 1) * scale[gene]) /
+// log(base) (the .unlog -> scale -> .relog sequence of
+// reference R/rescaleBatches.R:150-182, zeros preserved).
+void bt_csr_rescale(const float* data, const int32_t* indices, int64_t nnz,
+                    const double* scale, double log_base, float* out) {
+  const double lb = std::log(log_base);
+  const double inv_lb = 1.0 / lb;
+  parallel_for(nnz, [&](int64_t lo, int64_t hi) {
+    for (int64_t p = lo; p < hi; ++p) {
+      const double u = std::expm1(static_cast<double>(data[p]) * lb);
+      out[p] = static_cast<float>(std::log1p(u * scale[indices[p]]) * inv_lb);
+    }
+  }, 4096);
+}
+
+int bt_version() { return 2; }
 
 }  // extern "C"
