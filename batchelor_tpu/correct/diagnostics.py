@@ -260,6 +260,7 @@ def mnn_delta_variance_blocked(
     compute_all: bool = False,
     trend_span: float = 0.3,
     chunk_pairs: int = 2048,
+    device=None,
 ) -> MnnDeltaVarianceResult:
     """Block-processed mnn_delta_variance for host-resident batches.
 
@@ -270,6 +271,11 @@ def mnn_delta_variance_blocked(
     R/mnnDeltaVariance.R:145). Matches :func:`mnn_delta_variance` on dense
     inputs: per-step variances are accumulated as fp64 moment sums over
     device-reduced pair chunks.
+
+    ``device``: optional ``jax.Device`` the chunk reductions are committed
+    to (e.g. ``jax.local_devices(backend="cpu")[0]``). The reduction is
+    memory-bound, so when host→accelerator transfer is the bottleneck (a
+    tunneled/remote device) the host CPU backend is the faster substrate.
     """
     from ..io.csr import CSRCells
 
@@ -355,7 +361,12 @@ def mnn_delta_variance_blocked(
                 pad = chunk_pairs - c
                 a = np.vstack([a, np.zeros((pad, g_out), np.float32)])
                 b = np.vstack([b, np.zeros((pad, g_out), np.float32)])
-            valid = jnp.arange(chunk_pairs) < c
+            if device is not None:
+                a = jax.device_put(a, device)
+                b = jax.device_put(b, device)
+                valid = jax.device_put(np.arange(chunk_pairs) < c, device)
+            else:
+                valid = jnp.arange(chunk_pairs) < c
             ca, cb, cd, cdd = _chunk_moments(
                 jnp.asarray(a), jnp.asarray(b), valid
             )

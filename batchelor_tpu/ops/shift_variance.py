@@ -55,12 +55,24 @@ def _adjust(
     n_valid = jnp.sum(mask1).astype(jnp.int32)
     col2 = jnp.arange(n2)
 
+    hi = jax.lax.Precision.HIGHEST  # bf16 distances would corrupt the kernel
+
     def block(args):
         """One chunk of query cells c: all matrices are (C, N1/N2) — the
         kernel is inherently O(N^2 G) (the reference's non-scaling part,
-        src/adjust_shift_variance.cpp:51-161) but memory stays O(chunk N)."""
+        src/adjust_shift_variance.cpp:51-161) but memory stays O(chunk N).
+
+        Weights are Gaussian log-probs shifted by the row max and
+        exponentiated ONCE (w = exp(lp - max lp)): every ratio/threshold
+        below compares weight *sums* scaled by the same per-row constant, so
+        the quantile search is exact while costing one transcendental per
+        element instead of logsumexp/logaddexp chains, and the sorted
+        crossing scan is a plain additive cumsum. Unlike raw exp(-d/s2)
+        (what the C++ accumulates in double) the shifted form cannot
+        underflow to an all-zero row at small sigma.
+        """
         gch, d2ch, sq2ch, l2ch, rows = args            # (C, G) ... (C,)
-        P2 = gch @ d2.T                                # (C, N2)
+        P2 = jnp.matmul(gch, d2.T, precision=hi)       # (C, N2)
         # own projection read from the SAME matmul row: duplicated cells then
         # compare bitwise-equal to their twins, reproducing the C++'s exact
         # `sameproj > curproj` tie behavior (inner_product on identical data)
@@ -68,7 +80,7 @@ def _adjust(
         curproj = jnp.take_along_axis(
             P2, jnp.clip(rows, 0, n2 - 1)[:, None], axis=1
         )[:, 0]                                        # (C,)
-        G22 = d2ch @ d2.T
+        G22 = jnp.matmul(d2ch, d2.T, precision=hi)
         diff_par = curproj[:, None] - P2
         dist2 = sq2ch[:, None] + sq2[None, :] - 2.0 * G22 - jnp.square(diff_par)
         lp2 = -jnp.maximum(dist2, 0.0) / sigma2
@@ -76,26 +88,33 @@ def _adjust(
         lp2 = jnp.where(eye, 0.0, lp2)                 # self: log-prob 0
         add_mask = (P2 <= curproj[:, None]) | eye
         lp2_all = jnp.where(mask2[None, :], lp2, neg_inf)
-        lp2_add = jnp.where(add_mask, lp2_all, neg_inf)
-        num = jax.scipy.special.logsumexp(lp2_add, axis=1)
+        m2 = jnp.max(lp2_all, axis=1, keepdims=True)
+        m2 = jnp.where(jnp.isfinite(m2), m2, 0.0)
+        w2 = jnp.exp(lp2_all - m2)                     # (C, N2), in [0, 1]
+        den2 = jnp.sum(w2, axis=1)
+        num2 = jnp.sum(jnp.where(add_mask, w2, 0.0), axis=1)
         # empty numerator (cell outside restrict2 with no admissible cells):
-        # the C++ leaves the accumulator at log-prob 0
-        num = jnp.where(jnp.isneginf(num), 0.0, num)
-        prob2 = num - jax.scipy.special.logsumexp(lp2_all, axis=1)
+        # the C++ leaves the accumulator at log-prob 0 (weight 1 unscaled)
+        num2 = jnp.where(num2 == 0.0, jnp.exp(-m2[:, 0]), num2)
+        prob2 = num2 / den2                            # scale cancels
 
-        P1 = gch @ d1.T                                # (C, N1)
-        C12 = d2ch @ d1.T
+        P1 = jnp.matmul(gch, d1.T, precision=hi)       # (C, N1)
+        C12 = jnp.matmul(d2ch, d1.T, precision=hi)
         diff_par1 = curproj[:, None] - P1
         dist1 = sq2ch[:, None] + sq1[None, :] - 2.0 * C12 - jnp.square(diff_par1)
         lw1 = jnp.where(mask1[None, :], -jnp.maximum(dist1, 0.0) / sigma2, neg_inf)
-        total1 = jax.scipy.special.logsumexp(lw1, axis=1)
-        target = prob2 + total1
+        m1 = jnp.max(lw1, axis=1, keepdims=True)
+        m1 = jnp.where(jnp.isfinite(m1), m1, 0.0)
+        w1 = jnp.exp(lw1 - m1)                         # shared exp(-m1) scale
+        target = prob2 * jnp.sum(w1, axis=1)
 
         proj_sort_key = jnp.where(mask1[None, :], P1, jnp.inf)
-        order = jnp.argsort(proj_sort_key, axis=1)
-        proj_sorted = jnp.take_along_axis(proj_sort_key, order, axis=1)
-        lw_sorted = jnp.take_along_axis(lw1, order, axis=1)
-        cum = jax.lax.associative_scan(jnp.logaddexp, lw_sorted, axis=1)
+        # one multi-operand sort instead of argsort + two gathers (the
+        # gathers cost more than the sort itself at N1 ~ 10^5)
+        proj_sorted, w_sorted = jax.lax.sort(
+            (proj_sort_key, w1), dimension=1, num_keys=1
+        )
+        cum = jnp.cumsum(w_sorted, axis=1)
         crossed = cum >= target[:, None]
         any_crossed = jnp.any(crossed, axis=1)
         first = jnp.argmax(crossed, axis=1)

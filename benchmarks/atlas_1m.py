@@ -4,9 +4,13 @@ Single-chip scale demo for BASELINE config 4/5: distributed_fast_mnn on a
 1-device mesh with shape-bucketed padding (compile reuse across the 7 merge
 steps). Prints per-step diagnostics and the end-to-end wall time.
 
-Usage: python benchmarks/atlas_1m.py [knn_method] [cells_per_batch]
-(defaults: bf16, 125000). Timing materializes a device-side scalar
-(NOTES.md measurement discipline).
+Usage: python benchmarks/atlas_1m.py [knn_method] [cells_per_batch] [diag]
+(defaults: bf16, 125000). With the third arg ``diag`` the script runs the
+full BASELINE config-4 workload: the merge with pair collection, then
+clusterMNN over a G-gene expression space, then block-processed
+mnnDeltaVariance over the collected pairs (host-resident gene space; no
+(N, G) densification on the device). Timing materializes a device-side
+scalar (NOTES.md measurement discipline).
 """
 import sys
 import time
@@ -30,26 +34,28 @@ from batchelor_tpu.parallel.mesh import make_cells_mesh
 def main():
     method = sys.argv[1] if len(sys.argv) > 1 else "bf16"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 125_000
+    diag = len(sys.argv) > 3 and sys.argv[3] == "diag"
     nb = 8
     d = 50
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()} {nb}x{n} cells, d={d}, "
-          f"knn_method={method}", flush=True)
+          f"knn_method={method} diagnostics={diag}", flush=True)
 
     # clustered toy atlas: shared cell types + per-batch shift
     means = rng.normal(size=(10, d)).astype(np.float32) * 2.0
-    batches = []
+    batches, assigns = [], []
     for b in range(nb):
         assign = rng.integers(0, 10, n)
         x = means[assign] + rng.normal(size=(n, d)).astype(np.float32) * 0.6
         x += rng.normal(size=(1, d)).astype(np.float32) * 0.5
         batches.append(jnp.asarray(x))
+        assigns.append(assign)
 
     mesh = make_cells_mesh(1)
     t0 = time.perf_counter()
     res = distributed_fast_mnn(
         batches, mesh, k=20, knn_method=method, pad_buckets=True,
-        collect_pairs=False, progress=True,
+        collect_pairs=diag, progress=True,
     )
     # force: device-side scalar
     _ = float(jnp.sum(jnp.asarray(res.corrected[:1, :1])))
@@ -61,6 +67,58 @@ def main():
     total = nb * n
     print(f"total: {elapsed:.1f} s  ({total/elapsed/1e3:.1f}k cells/s/chip, "
           f"{total} cells)", flush=True)
+
+    if diag:
+        _diagnostics(rng, batches, assigns, res, n, nb)
+
+
+def _diagnostics(rng, pc_batches, assigns, res, n, nb):
+    """BASELINE config 4: clusterMNN + blocked mnnDeltaVariance at 1M cells.
+
+    The expression space is a G-gene view of the same cell types (gene-space
+    means per type + noise), host-resident; clusterMNN consumes it on the
+    device (centroids are cluster means, so per-batch memory is one (n, G)
+    block at a time), mnnDeltaVariance streams it in pair chunks.
+    """
+    from batchelor_tpu.correct.cluster_mnn import cluster_mnn
+    from batchelor_tpu.correct.diagnostics import mnn_delta_variance_blocked
+
+    g = 1000
+    gmeans = rng.normal(size=(10, g)).astype(np.float32) * 1.5
+    host = []
+    for b in range(nb):
+        x = gmeans[assigns[b]] + rng.normal(size=(n, g)).astype(np.float32) * 0.4
+        x += rng.normal(size=(1, g)).astype(np.float32) * 0.3
+        np.maximum(x, 0.0, out=x)
+        host.append(x)
+    print(f"gene space: {nb}x{n} x {g} genes "
+          f"({nb * n * g * 4 / 2**30:.1f} GiB host)", flush=True)
+
+    t0 = time.perf_counter()
+    cm = cluster_mnn(
+        [jnp.asarray(x) for x in host],
+        clusters=[a for a in assigns],
+        cos_norm=True,
+    )
+    _ = float(jnp.sum(jnp.asarray(cm.corrected[:1, :1])))
+    print(f"clusterMNN: {time.perf_counter() - t0:.1f} s "
+          f"({cm.corrected.shape[1]} dims, "
+          f"{len(set(cm.cluster_meta['meta'].tolist()))} meta-clusters)",
+          flush=True)
+
+    pairs = [i.pairs for i in res.merge_info if i.pairs.size]
+    npairs = sum(p.shape[0] for p in pairs)
+    # chunk reductions on the host CPU backend: the moment kernel is
+    # memory-bound, and on this environment the device sits across a
+    # ~25 MB/s tunnel (NOTES.md), so committing chunks to the accelerator
+    # would time the tunnel, not the algorithm.
+    cpu = jax.local_devices(backend="cpu")[0]
+    t0 = time.perf_counter()
+    dv = mnn_delta_variance_blocked(host, pairs, cos_norm=True, device=cpu)
+    elapsed = time.perf_counter() - t0
+    print(f"mnnDeltaVariance (blocked): {elapsed:.1f} s "
+          f"({npairs} pairs, {npairs / elapsed / 1e3:.1f}k pairs/s, "
+          f"top adjusted var {float(np.max(dv.adjusted)):.4f})", flush=True)
 
 
 if __name__ == "__main__":
