@@ -147,15 +147,32 @@ def _prep_pass1(query, data, data_valid, interpret: bool = False,
     if bf16:
         q = q.astype(jnp.bfloat16)
         x = x.astype(jnp.bfloat16)
-    m_t = chunk_max_scores(q, x, dn[:, None], interpret)  # (C32, nq_pad)
-    return m_t.T[:nq]
+    # stays TRANSPOSED (C32, nq_pad): transposing the full matrix here costs
+    # a second m32-sized HBM buffer (7.9 GB at 500k x 126k — the 1M-atlas
+    # OOM); _select_subchunks transposes per query tile instead.
+    return chunk_max_scores(q, x, dn[:, None], interpret)
+
+
+SELECT_TILE = 16384       # query rows selected per tile (bounds HBM temps)
+SINGLE_LEVEL_MAX = 8192   # C32 up to which one flat top-k beats the hierarchy
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def _select_subchunks(m32, k: int, interpret: bool = False):
-    """Hierarchical exact selection: (nq, C32) sub-maxes -> (nq, ks) top
-    sub-chunk ids (ks = min(k, candidate count); see module docstring for
-    the exactness argument)."""
+def _select_subchunks(m_t, k: int, interpret: bool = False):
+    """Exact selection: (C32, nq) TRANSPOSED sub-maxes (as pass 1 emits
+    them) -> (nq, ks) top sub-chunk ids (ks = min(k, candidate count)).
+
+    Two regimes. C32 <= SINGLE_LEVEL_MAX: one flat topk_rows over the
+    sub-maxes (the k selected maxima are k distinct true scores, so the
+    k-th bounds the k-th best from below — same exactness argument as the
+    hierarchy, module docstring step 2-3 — without the 3-D gather or the
+    second top-k). Larger C32: the 128-chunk -> sub-chunk hierarchy, whose
+    first top-k runs over a RATIO-fold narrower input.
+
+    Runs in query tiles: the (tile, c128p, RATIO) fp32 working set is
+    16 B/(query x chunk) and materializing it for every query at once
+    OOMs at scale (observed 2 x 7.63 GB HLO temps at 500k x 126k in the
+    1M-cell atlas)."""
     def _topk(x, kk):
         if not interpret and kk <= 64:
             from .topk_pallas import topk_rows
@@ -163,9 +180,9 @@ def _select_subchunks(m32, k: int, interpret: bool = False):
             return topk_rows(x, kk)                  # distinct-index ties
         return lax.top_k(x, kk)
 
-    nq, c32 = m32.shape
+    c32, nq = m_t.shape
     c128 = c32 // RATIO
-    # pad the chunk count to a 128-multiple: the (nq, c128, RATIO)
+    # pad the chunk count to a 128-multiple: the (tile, c128, RATIO)
     # take_along_axis below crashes the TPU runtime at unaligned chunk
     # counts (kernel fault observed at c128=72; fine at 768), and -inf pad
     # chunks are never selected while real candidates remain (topk_rows
@@ -173,22 +190,44 @@ def _select_subchunks(m32, k: int, interpret: bool = False):
     # ~2x faster than the equivalent flat per-scalar gather (90 vs 170 ms
     # select at 98304^2).
     c128p = max(-(-c128 // 128) * 128, 128)
-    if c128p != c128:
-        m32 = jnp.pad(m32, ((0, 0), (0, (c128p - c128) * RATIO)),
-                      constant_values=-jnp.inf)
-    m128 = jnp.max(m32.reshape(nq, c128p, RATIO), axis=2)
     kc = min(k, c128)
-    _, top_chunks = _topk(m128, kc)                  # (nq, kc)
-    sub = jnp.take_along_axis(
-        m32.reshape(nq, c128p, RATIO), top_chunks[:, :, None], axis=1
-    )                                                # (nq, kc, RATIO)
-    sub_ids = (
-        top_chunks[:, :, None] * RATIO
-        + jnp.arange(RATIO, dtype=jnp.int32)[None, None, :]
-    ).reshape(nq, RATIO * kc)
     ks = min(k, RATIO * kc)
-    _, pos = _topk(sub.reshape(nq, RATIO * kc), ks)
-    return jnp.take_along_axis(sub_ids, pos, axis=1)  # (nq, ks)
+
+    # tile must divide nq exactly (nq is QT-padded upstream) so the output
+    # is a plain reshape; worst case falls back to QT-sized tiles.
+    tile = nq
+    for m in range(min(SELECT_TILE, nq) // QT, 0, -1):
+        if nq % (QT * m) == 0:
+            tile = QT * m
+            break
+
+    single = c32 <= SINGLE_LEVEL_MAX
+
+    def body(i):
+        mt = lax.dynamic_slice(m_t, (0, i * tile), (c32, tile))
+        m32 = mt.T                                   # (tile, C32)
+        if single:
+            _, top = _topk(m32, ks)                  # flat, one pass
+            return top
+        if c128p != c128:
+            m32 = jnp.pad(m32, ((0, 0), (0, (c128p - c128) * RATIO)),
+                          constant_values=-jnp.inf)
+        m128 = jnp.max(m32.reshape(tile, c128p, RATIO), axis=2)
+        _, top_chunks = _topk(m128, kc)              # (tile, kc)
+        sub = jnp.take_along_axis(
+            m32.reshape(tile, c128p, RATIO), top_chunks[:, :, None], axis=1
+        )                                            # (tile, kc, RATIO)
+        sub_ids = (
+            top_chunks[:, :, None] * RATIO
+            + jnp.arange(RATIO, dtype=jnp.int32)[None, None, :]
+        ).reshape(tile, RATIO * kc)
+        _, pos = _topk(sub.reshape(tile, RATIO * kc), ks)
+        return jnp.take_along_axis(sub_ids, pos, axis=1)  # (tile, ks)
+
+    if tile == nq:
+        return body(0)
+    out = lax.map(body, jnp.arange(nq // tile))
+    return out.reshape(nq, ks)
 
 
 @jax.jit
@@ -262,14 +301,38 @@ def _rescore_chunks(query, data3, dn2, top_sub, k: int):
     return idx, sq
 
 
+MT_BUDGET = 4 << 30  # max bytes for one pass-1 sub-chunk-max buffer
+
+
 def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False,
                   bf16: bool = False):
     """Stage orchestrator. Stages are separately jitted so each gets its
     own input layouts (see _rescore_chunks); when this function is itself
     traced inside a larger jit the stages inline and behave as one
-    program."""
-    m32 = _prep_pass1(query, data, data_valid, interpret, bf16)
-    top_sub = _select_subchunks(m32, k, interpret)
+    program.
+
+    Queries are processed in pieces whenever one (N_d/32, N_q) pass-1
+    buffer would exceed MT_BUDGET: m_t is the only O(N_q * N_d) HBM object
+    left in the pipeline, so piecing the queries bounds device memory for
+    arbitrarily large merge steps (a 1M x 126k step would otherwise need a
+    15.7 GB buffer — over the whole v5e HBM)."""
+    nq = query.shape[0]
+    ndp = -(-data.shape[0] // DT) * DT
+    nqp = -(-nq // QT) * QT
+    npieces = max(1, -(-(4 * (ndp // SUB) * nqp) // MT_BUDGET))
+    if npieces == 1:
+        m_t = _prep_pass1(query, data, data_valid, interpret, bf16)
+        top_sub = _select_subchunks(m_t, k, interpret)[:nq]
+    else:
+        qchunk = QT * (-(-(-(-nq // npieces)) // QT))
+        tops = []
+        for lo in range(0, nq, qchunk):
+            qs = query[lo:lo + qchunk]
+            if qs.shape[0] < qchunk:          # one compiled shape per size
+                qs = jnp.pad(qs, ((0, qchunk - qs.shape[0]), (0, 0)))
+            m_t = _prep_pass1(qs, data, data_valid, interpret, bf16)
+            tops.append(_select_subchunks(m_t, k, interpret)[:qchunk])
+        top_sub = jnp.concatenate(tops, axis=0)[:nq]
     data3, dn2 = _chunked_view(data, data_valid)
     return _rescore_chunks(query, data3, dn2, top_sub, k)
 
