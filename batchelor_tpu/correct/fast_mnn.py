@@ -158,7 +158,9 @@ def _fast_mnn_core(
     left_sets: List[list] = [None] * nmerges
     raw_pairs: List[np.ndarray] = [None] * nmerges
     var_kept = np.ones((nmerges, nbatches), dtype=np.float64)
-    batch_size = np.full(nmerges, np.nan)
+    # per-step batch.size: device scalars until the end of the loop (the
+    # host only needs the value when min_batch_skip > 0 gates the step)
+    batch_size: list = [np.nan] * nmerges
     skipped = np.zeros(nmerges, dtype=bool)
     right_sets: List[list] = [None] * nmerges
 
@@ -241,12 +243,19 @@ def _fast_mnn_core(
 
         # batch.size is always reported (reference R/fastMNN.R:484-492 computes
         # it unconditionally; min.batch.skip only gates the skip decision).
-        mag = float(batch_magnitude(averaged))
-        batch_size[mdx] = mag
+        # The scalar only crosses to the host when the skip gate can fire
+        # (min_batch_skip > 0) — otherwise the fetch would stall the
+        # dispatch pipeline once per merge step for nothing.
+        mag_dev = batch_magnitude(averaged)
         do_correct = True
-        if min_batch_skip is not None and mag < min_batch_skip:
-            do_correct = False
-            skipped[mdx] = True
+        if min_batch_skip is not None and min_batch_skip > 0.0:
+            mag = float(mag_dev)
+            batch_size[mdx] = mag
+            if mag < min_batch_skip:
+                do_correct = False
+                skipped[mdx] = True
+        else:
+            batch_size[mdx] = mag_dev
 
         if do_correct:
             with trace_span("fastmnn/correct", step=mdx):
@@ -320,7 +329,7 @@ def _fast_mnn_core(
                     "lost_var": 1.0 - var_kept[mdx],
                     "left_set": left_sets[mdx],
                     "right_set": right_sets[mdx],
-                    "batch_size": batch_size[mdx],
+                    "batch_size": float(batch_size[mdx]),
                     "skipped": bool(skipped[mdx]),
                     "stats": stats if auto_merge else None,
                 },
@@ -356,7 +365,7 @@ def _fast_mnn_core(
             left=left_sets[m],
             right=right_sets[m],
             pairs=pairings[m],
-            batch_size=batch_size[m],
+            batch_size=float(batch_size[m]),
             skipped=bool(skipped[m]),
             lost_var=1.0 - var_kept[m],
         )

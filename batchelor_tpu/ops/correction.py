@@ -203,25 +203,40 @@ def orthogonalize_other(
     return data
 
 
+@functools.partial(jax.jit, static_argnames=("nseg",))
+def _per_batch_var_segments(data, labels, counts, nseg: int):
+    # shift by the global per-dim mean before squaring: the sum-of-squares
+    # minus n*mu^2 identity cancels catastrophically in fp32 when the
+    # within-batch variance is small against the batch offset.
+    acc = jnp.promote_types(data.dtype, jnp.float32)
+    x = data.astype(acc) - jnp.mean(data.astype(acc), axis=0)[None, :]
+    sums = jax.ops.segment_sum(x, labels, num_segments=nseg)
+    sqs = jax.ops.segment_sum(jnp.square(x), labels, num_segments=nseg)
+    cnt = counts[:, None].astype(acc)
+    safe = jnp.maximum(cnt, 1.0)
+    ssd = jnp.sum(sqs - jnp.square(sums) / safe, axis=1)
+    return jnp.where(counts >= 2, ssd / jnp.maximum(counts - 1.0, 1.0), 0.0)
+
+
 def per_batch_var(data: jnp.ndarray, index: Sequence[int], origin: np.ndarray) -> np.ndarray:
     """Sum of per-dimension sample variances within each original batch.
 
     Mirrors .compute_perbatch_var (reference R/fastMNN.R:651-658); the
-    variance uses the n-1 denominator like R's colVars.
+    variance uses the n-1 denominator like R's colVars. One fused
+    segment-sum pass + ONE host fetch (the previous per-batch Python loop
+    cost a device round-trip per original batch per call — dozens of
+    pipeline stalls per merge step late in a many-batch atlas).
     """
     origin = np.asarray(origin)
-    out = np.zeros(len(index), dtype=np.float64)
-    for i, b in enumerate(index):
-        rows = np.nonzero(origin == b)[0]
-        sub = data[jnp.asarray(rows)]
-        n = rows.shape[0]
-        if n < 2:
-            out[i] = 0.0
-            continue
-        mu = jnp.mean(sub, axis=0)
-        v = jnp.sum(jnp.square(sub - mu[None, :])) / (n - 1)
-        out[i] = float(v)
-    return out
+    index = list(index)
+    mapping = np.zeros(int(max(index)) + 1, dtype=np.int32)
+    mapping[np.asarray(index, dtype=np.int64)] = np.arange(len(index), dtype=np.int32)
+    labels = mapping[origin]
+    counts = np.bincount(labels, minlength=len(index)).astype(np.float64)
+    out = _per_batch_var_segments(
+        data, jnp.asarray(labels), jnp.asarray(counts, jnp.float64), len(index)
+    )
+    return np.asarray(out, dtype=np.float64)
 
 
 @functools.partial(jax.jit, static_argnames=("ndist",))
