@@ -34,7 +34,11 @@ Pass 2 (XLA): hierarchical exact selection + fine-grained rescore.
      ~14x slower still).
 
 Exact up to tie-breaking: equal-score neighbours may resolve to different
-indices than the reference XLA path (which is index-stable).
+indices than the reference XLA path (which is index-stable), and pass-1
+candidate selection carries ~2^-21 relative score error (3-pass bf16
+split — see _chunkmax_kernel) vs the ~2^-23 rounding of a full-fp32
+score, so neighbours within that resolution of the k-th best count as
+ties. Reported distances are always full-fp32 rescores.
 
 Masking: invalid data rows are excluded by setting their ||x||^2 to +inf
 (score -inf), so restriction masks are free.
@@ -69,18 +73,40 @@ def _chunkmax_kernel(q_ref, d_ref, dn_ref, m_ref):
     reshape of the (QT, DT) orientation is not). The within-chunk argmax is
     NOT computed here: pass 2 rescoring recovers exact indices.
     """
-    # fp32 inputs: HIGHEST = full fp32 via multi-pass MXU — selection
-    # quality needs it (default matmul precision is bf16 on TPU, ~1e-2
-    # score error). bf16 inputs: single MXU pass with fp32 accumulation
-    # (the fast candidate-selection mode; pass 2 rescores in full fp32).
-    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-    s_t = 2.0 * lax.dot_general(
-        d_ref[:], q_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    ) - dn_ref[:]                                   # (DT, QT)
+    # fp32 inputs: manual 3-pass bf16 split (hi = bf16(a), lo = bf16(a-hi);
+    # a.b ~= hi.hi + hi.lo + lo.hi — what Precision.HIGH lowers to on
+    # XLA:TPU, but Mosaic rejects HIGH so we write the split out). Relative
+    # error ~2^-21 vs the ~2^-23 rounding a full-fp32 (HIGHEST, 6-pass)
+    # score already carries — i.e. only ~2 bits looser than "exact" fp32
+    # selection, for 1.57x the pass-1 rate (66 vs 104 ms at 98304^2,
+    # benchmarks/knn_pass1_precision_probe.py; recall 1.0, max reported-
+    # distance gap 1e-5 at d=50). Selection only prunes: pass 2 rescores
+    # the selected sub-chunks in full fp32, so a deviation needs a true
+    # neighbour within ~2^-21 relative of the k-th sub-chunk max — inside
+    # the tie resolution the "exact up to tie-breaking" contract already
+    # excludes. bf16 inputs: single MXU pass with fp32 accumulation (the
+    # fast candidate-selection mode, ~2^-8 error).
+    dims = (((1,), (1,)), ((), ()))
+    if q_ref.dtype == jnp.float32:
+        q = q_ref[:]
+        d = d_ref[:]
+        qh = q.astype(jnp.bfloat16)
+        dh = d.astype(jnp.bfloat16)
+        ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dl = (d - dh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = lambda a, b: lax.dot_general(
+            a, b, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        s = dot(dh, qh) + dot(dh, ql) + dot(dl, qh)
+    else:
+        s = lax.dot_general(
+            d_ref[:], q_ref[:], dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    s_t = 2.0 * s - dn_ref[:]                       # (DT, QT)
     m_ref[:] = jnp.max(s_t.reshape(DT // SUB, SUB, QT), axis=1)
 
 
@@ -93,8 +119,8 @@ def chunk_max_scores(
     ``query``/``data`` must be padded: N_q % QT == 0, N_d % DT == 0, and the
     feature dim padded to a multiple of 128 (or exactly 64). ``dn`` =
     (N_d, 1) fp32 column of ||x||^2 with +inf for invalid rows. fp32 inputs
-    select with exact scores; bf16 inputs trade ~3 decimal digits of score
-    precision for a single-pass MXU matmul.
+    select at ~2^-21 relative score precision (3-pass bf16 split); bf16
+    inputs trade ~3 decimal digits for a single-pass MXU matmul.
     """
     nq, d = query.shape
     nd = data.shape[0]
