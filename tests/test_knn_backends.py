@@ -92,3 +92,25 @@ def test_auto_dispatch(rng):
     ref = query_knn(jnp.asarray(q), jnp.asarray(x), 5, method="exact")
     out = query_knn(jnp.asarray(q), jnp.asarray(x), 5, method="auto")
     assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
+
+
+def test_chunked_selection_precision(rng):
+    """Adversarial near-tie geometry pinning the 3-pass bf16 split.
+
+    Data rows sit on a ray at radii 10 + i*1e-3 with the query at radius 9:
+    squared-score gaps between rank-adjacent neighbours are ~2e-3 while the
+    score magnitude is ~100, so a single-pass bf16 selection (abs error
+    ~100 * 2^-8 ~ 0.4) scrambles the ranking but the chunked path's 3-pass
+    hi/lo split (abs error ~100 * 2^-21 ~ 5e-5, knn_pallas._chunkmax_kernel)
+    must still match the exact oracle."""
+    d = 8
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    radii = 10.0 + 1e-3 * rng.permutation(1024)
+    x = (radii[:, None] * u[None, :]).astype(np.float32)
+    q = np.tile((9.0 * u).astype(np.float32), (16, 1))
+    ref = query_knn(jnp.asarray(q), jnp.asarray(x), 4, method="exact")
+    out = query_knn(jnp.asarray(q), jnp.asarray(x), 4, method="chunked")
+    assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
+    assert np.allclose(np.asarray(ref.distances), np.asarray(out.distances),
+                       atol=1e-5)
