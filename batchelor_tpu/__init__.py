@@ -63,7 +63,7 @@ from .correct.outofcore import (
     mnn_correct_csr,
     CSRResidualOp,
 )
-from .io.csr import CSRCells, dense_blocks
+from .io.csr import CSRCells, dense_blocks, device_dense_blocks
 from .io.checkpoint import MergeCheckpointer, save_pca_stage, load_pca_stage
 from .utils.batching import (
     divide_into_batches,

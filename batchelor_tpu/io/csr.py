@@ -17,7 +17,7 @@ import numpy as np
 
 from ..native import bindings as nat
 
-__all__ = ["CSRCells", "dense_blocks"]
+__all__ = ["CSRCells", "dense_blocks", "device_dense_blocks"]
 
 _MAGIC = "batchelor-csr-v1"
 
@@ -138,4 +138,68 @@ def dense_blocks(
             block = np.vstack(
                 [block, np.zeros((block_rows - n_valid, csr.n_genes), np.float32)]
             )
+        yield block, n_valid
+
+
+def device_dense_blocks(
+    csr: CSRCells, block_rows: int = 8192, pad: bool = True
+):
+    """Sparse-transfer variant of :func:`dense_blocks`: ships each block as
+    (flat-index, value) nnz pairs and densifies ON DEVICE with a
+    scatter-add, instead of densifying on the host and transferring
+    ``block_rows x G`` fp32.
+
+    Host->device bytes drop from ``4 * rows * G`` to ``8 * nnz`` — ~6x at
+    10% density — which is the win whenever the link is the bottleneck
+    (DCN-fed hosts at pod scale; the ~25 MB/s axon tunnel here). Each
+    nonzero scatters into its own distinct slot, so the result is
+    bit-identical to the host densify (no summation-order ambiguity).
+    Padded nnz entries target a spare slot past the block and are sliced
+    off. Falls back to host densify when ``block_rows * G`` overflows the
+    int32 flat index space.
+
+    Yields (device jnp block, n_valid) — a drop-in for dense_blocks
+    consumers (the TPU analog of beachmat handing DelayedArray sparse
+    blocks straight to the backend, reference R/multiBatchPCA.R:217-219).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    n, g = csr.shape
+    if block_rows * g + g > 2**31 - 1:  # int32 flat-index overflow guard
+        for block, n_valid in dense_blocks(csr, block_rows, pad):
+            yield jnp.asarray(block), n_valid
+        return
+
+    starts = range(0, n, block_rows)
+    nnz_max = max(
+        (int(csr.indptr[min(s + block_rows, n)] - csr.indptr[s]) for s in starts),
+        default=0,
+    )
+    nnz_pad = 1 << max(nnz_max - 1, 1).bit_length()  # one compile per store
+    sentinel = block_rows * g                        # spare-slot flat index
+
+    @functools.partial(jax.jit, static_argnames=("nrows", "ncols"))
+    def _scatter(vals, flat, nrows, ncols):
+        out = jnp.zeros((nrows * ncols + ncols,), jnp.float32)
+        out = out.at[flat].add(vals)
+        return out[: nrows * ncols].reshape(nrows, ncols)
+
+    for start in range(0, n, block_rows):
+        end = min(start + block_rows, n)
+        lo, hi = int(csr.indptr[start]), int(csr.indptr[end])
+        vals = np.zeros(nnz_pad, dtype=np.float32)
+        flat = np.full(nnz_pad, sentinel, dtype=np.int32)
+        vals[: hi - lo] = csr.data[lo:hi]
+        counts = np.asarray(csr.indptr[start + 1 : end + 1]) - np.asarray(
+            csr.indptr[start:end]
+        )
+        rows = np.repeat(np.arange(end - start, dtype=np.int64), counts)
+        flat[: hi - lo] = rows * g + csr.indices[lo:hi]
+        block = _scatter(jnp.asarray(vals), jnp.asarray(flat), block_rows, g)
+        n_valid = end - start
+        if not pad and n_valid < block_rows:
+            block = block[:n_valid]
         yield block, n_valid

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.csr import CSRCells, dense_blocks
+from ..io.csr import CSRCells, dense_blocks, device_dense_blocks
 from .pca import MultiBatchPCAResult, _randomized_psd_eigh, construct_weight_vector
 
 __all__ = ["multi_batch_pca_csr"]
@@ -45,6 +45,7 @@ def multi_batch_pca_csr(
     eig_method: str = "auto",
     batch_names: Optional[Sequence[str]] = None,
     mesh=None,
+    transfer: str = "auto",
 ) -> MultiBatchPCAResult:
     """Weighted multi-batch PCA streaming CSR batches block-by-block.
 
@@ -57,7 +58,15 @@ def multi_batch_pca_csr(
     reduction collectives) — the bridge between the out-of-core store and
     the distributed engine (the analog of the reference feeding
     DelayedArray blocks to BPPARAM-parallel PCA, R/multiBatchPCA.R:217-219).
+
+    ``transfer`` picks how blocks reach the device: "dense" ships densified
+    fp32 blocks, "sparse" ships nnz (index, value) pairs and densifies on
+    device (io.csr.device_dense_blocks; bit-identical result, ~6x fewer
+    link bytes at 10% density), "auto" uses sparse for unsharded runs on
+    matrices under 25% density.
     """
+    if transfer not in ("auto", "dense", "sparse"):
+        raise ValueError(f"unknown transfer mode {transfer!r}")
     if subset_row is not None:
         batches = [c.select_genes(subset_row) for c in batches]
     g = batches[0].n_genes
@@ -76,13 +85,23 @@ def multi_batch_pca_csr(
         def put(x):  # noqa: F811 — sharded device_put for streamed blocks
             return jax.device_put(jnp.asarray(x), _shard)
 
+    if transfer == "sparse" or (
+        transfer == "auto"
+        and mesh is None
+        and sum(int(c.data.shape[0]) for c in batches)
+        < 0.25 * sum(n * g for n in ns)
+    ):
+        blocks = device_dense_blocks
+    else:
+        blocks = dense_blocks
+
     # pass 1: per-batch gene sums + raw Gram accumulators
     grams = []
     sums = []
     for csr in batches:
         acc_g = jnp.zeros((g, g), jnp.float32)
         acc_s = jnp.zeros((g,), jnp.float32)
-        for block, n_valid in dense_blocks(csr, block_rows=block_rows):
+        for block, n_valid in blocks(csr, block_rows=block_rows):
             mask = jnp.arange(block.shape[0]) < n_valid
             bg, bs = _block_gram(put(block), mask)
             acc_g = acc_g + bg
@@ -117,7 +136,7 @@ def multi_batch_pca_csr(
     components: List[jnp.ndarray] = []
     for csr in batches:
         outs = []
-        for block, n_valid in dense_blocks(csr, block_rows=block_rows):
+        for block, n_valid in blocks(csr, block_rows=block_rows):
             proj = (put(block) - centers[None, :]) @ v
             outs.append(np.asarray(proj[:n_valid]))
         components.append(jnp.asarray(np.concatenate(outs, axis=0)))

@@ -177,3 +177,50 @@ def test_quick_correct_csr_input_validation(rng):
         quick_correct_csr([CSRCells.from_dense(c1), CSRCells.from_dense(c2)])
     with np.testing.assert_raises(ValueError):
         quick_correct_csr([CSRCells.from_dense(c1)])
+
+
+def test_device_dense_blocks_matches_host(rng):
+    """Sparse-transfer densification is bit-identical to the host densify
+    (each nonzero scatters to its own slot — no summation reordering)."""
+    from batchelor_tpu.io.csr import device_dense_blocks
+
+    x = _sparse(rng, 70, 10)
+    csr = CSRCells.from_dense(x)
+    host = list(dense_blocks(csr, block_rows=32))
+    dev = list(device_dense_blocks(csr, block_rows=32))
+    assert len(host) == len(dev) == 3
+    for (hb, hn), (db, dn) in zip(host, dev):
+        assert hn == dn
+        assert db.shape == hb.shape
+        assert np.array_equal(np.asarray(db), hb)
+    # unpadded final block
+    last_b, last_n = list(device_dense_blocks(csr, block_rows=32, pad=False))[-1]
+    assert last_b.shape == (6, 10) and last_n == 6
+    assert np.array_equal(np.asarray(last_b), x[64:])
+    # empty store edge case
+    empty = CSRCells.from_dense(np.zeros((5, 10), np.float32))
+    blocks = list(device_dense_blocks(empty, block_rows=8))
+    assert np.array_equal(
+        np.concatenate([np.asarray(b)[:n] for b, n in blocks]),
+        np.zeros((5, 10), np.float32),
+    )
+
+
+def test_outofcore_pca_transfer_modes(rng):
+    """transfer='sparse' and transfer='dense' produce identical PCA (the
+    device-scattered blocks are bit-equal to the host-densified ones)."""
+    from batchelor_tpu.ops.pca_outofcore import multi_batch_pca_csr
+
+    x1 = (_sparse(rng, 120, 40) * 3).astype(np.float32)
+    x2 = (_sparse(rng, 90, 40) * 3).astype(np.float32)
+    csrs = [CSRCells.from_dense(x1), CSRCells.from_dense(x2)]
+    sp = multi_batch_pca_csr(csrs, d=6, block_rows=32, eig_method="exact",
+                             transfer="sparse")
+    dn = multi_batch_pca_csr(csrs, d=6, block_rows=32, eig_method="exact",
+                             transfer="dense")
+    assert np.array_equal(np.asarray(sp.centers), np.asarray(dn.centers))
+    assert np.array_equal(np.asarray(sp.rotation), np.asarray(dn.rotation))
+    for a, b in zip(sp.components, dn.components):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    with np.testing.assert_raises(ValueError):
+        multi_batch_pca_csr(csrs, d=6, transfer="bogus")
