@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..io.csr import CSRCells, dense_blocks
+from ..io.csr import CSRCells, auto_blocks
 from ..ops.normalization import rescale_size_factors
 from ..ops.pca_outofcore import multi_batch_pca_csr
 from ..ops.stats import GeneVarResult, combine_var, fit_trend_var, get_top_hvgs
@@ -79,7 +79,7 @@ def _stream_stats(store: CSRCells, sf: np.ndarray, log_base: float,
     s2 = jnp.zeros((g,), jnp.float32)
     offset = 0
     lb = jnp.asarray(log_base, jnp.float32)
-    for block, n_valid in dense_blocks(store, block_rows=block_rows):
+    for block, n_valid in auto_blocks(store, block_rows=block_rows):
         sfb = np.ones(block.shape[0], np.float32)
         sfb[:n_valid] = sf[offset:offset + n_valid]
         b = jnp.asarray(block)
@@ -425,7 +425,7 @@ def regress_batches_csr(
     dty = jnp.zeros((p, g), jnp.float32)
     off = 0
     for s in stores:
-        for blockv, n_valid in dense_blocks(s, block_rows=block_rows):
+        for blockv, n_valid in auto_blocks(s, block_rows=block_rows):
             db = np.zeros((blockv.shape[0], p), np.float32)
             db[:n_valid] = dfit[off:off + n_valid]
             dty = dty + _block_design_cross(

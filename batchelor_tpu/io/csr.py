@@ -17,7 +17,7 @@ import numpy as np
 
 from ..native import bindings as nat
 
-__all__ = ["CSRCells", "dense_blocks", "device_dense_blocks"]
+__all__ = ["CSRCells", "dense_blocks", "device_dense_blocks", "auto_blocks"]
 
 _MAGIC = "batchelor-csr-v1"
 
@@ -203,3 +203,16 @@ def device_dense_blocks(
         if not pad and n_valid < block_rows:
             block = block[:n_valid]
         yield block, n_valid
+
+
+def auto_blocks(
+    csr: CSRCells, block_rows: int = 8192, pad: bool = True
+):
+    """Pick the block streamer by density: sparse transfer (device-side
+    densify, bit-identical — see :func:`device_dense_blocks`) under 25%
+    density, host densify otherwise (8 bytes/nnz beats 4 bytes/slot only
+    while nnz < rows*G/2; 25% keeps a 2x margin for scatter cost)."""
+    n, g = csr.shape
+    if n and g and int(csr.data.shape[0]) < 0.25 * n * g:
+        return device_dense_blocks(csr, block_rows, pad)
+    return dense_blocks(csr, block_rows, pad)

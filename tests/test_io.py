@@ -224,3 +224,17 @@ def test_outofcore_pca_transfer_modes(rng):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     with np.testing.assert_raises(ValueError):
         multi_batch_pca_csr(csrs, d=6, transfer="bogus")
+
+
+def test_auto_blocks_density_dispatch(rng):
+    from batchelor_tpu.io.csr import auto_blocks
+
+    sparse = CSRCells.from_dense(_sparse(rng, 60, 20))       # ~20% density
+    dense = CSRCells.from_dense(rng.random((60, 20)).astype(np.float32))
+    sb = list(auto_blocks(sparse, block_rows=32))
+    db = list(auto_blocks(dense, block_rows=32))
+    assert not isinstance(sb[0][0], np.ndarray)               # device block
+    assert isinstance(db[0][0], np.ndarray)                   # host block
+    assert np.array_equal(
+        np.concatenate([np.asarray(b)[:n] for b, n in sb]), sparse.to_dense()
+    )
