@@ -117,24 +117,32 @@ def fit_trend_var(
     window = max(int(np.ceil(span * n)), 2)
 
     def trend(q):
+        """Tricube-weighted local linear fit, vectorized over query points
+        in chunks (the windowed gather is (chunk, window); 30k genes at
+        span 0.3 stays ~40 MB instead of a 30k-iteration Python loop)."""
         q = np.atleast_1d(np.asarray(q, dtype=np.float64))
         out = np.empty(q.shape)
-        for i, qi in enumerate(q):
+        step = max(1, (1 << 22) // max(window, 1))
+        offs = np.arange(window)
+        for c0 in range(0, q.size, step):
+            qi = q[c0 : c0 + step]                       # (C,)
             pos = np.searchsorted(xs, qi)
-            lo = max(0, min(pos - window // 2, n - window))
-            hi = lo + window
-            xw, yw = xs[lo:hi], ys[lo:hi]
-            h = max(np.max(np.abs(xw - qi)), 1e-12)
-            w = (1 - np.minimum(np.abs(xw - qi) / h, 1) ** 3) ** 3
-            sw = w.sum()
-            if sw <= 0:
-                out[i] = yw.mean()
-                continue
-            xm = (w * xw).sum() / sw
-            ym = (w * yw).sum() / sw
-            den = (w * (xw - xm) ** 2).sum()
-            slope = (w * (xw - xm) * (yw - ym)).sum() / den if den > 1e-12 else 0.0
-            out[i] = ym + slope * (qi - xm)
+            lo = np.clip(pos - window // 2, 0, n - window)
+            idx = lo[:, None] + offs                     # (C, W)
+            xw, yw = xs[idx], ys[idx]
+            dist = np.abs(xw - qi[:, None])
+            h = np.maximum(dist.max(axis=1, keepdims=True), 1e-12)
+            w = (1 - np.minimum(dist / h, 1.0) ** 3) ** 3
+            sw = w.sum(axis=1)
+            sw_safe = np.maximum(sw, 1e-300)
+            xm = (w * xw).sum(axis=1) / sw_safe
+            ym = (w * yw).sum(axis=1) / sw_safe
+            dx = xw - xm[:, None]
+            den = (w * dx**2).sum(axis=1)
+            num = (w * dx * (yw - ym[:, None])).sum(axis=1)
+            slope = np.where(den > 1e-12, num / np.maximum(den, 1e-12), 0.0)
+            fit = ym + slope * (qi - xm)
+            out[c0 : c0 + step] = np.where(sw > 0, fit, yw.mean(axis=1))
         return np.maximum(out, 0.0)
 
     return trend

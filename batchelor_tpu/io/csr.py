@@ -141,8 +141,71 @@ def dense_blocks(
         yield block, n_valid
 
 
+def _scatter_densify():
+    """Module-level jitted scatter-densify (lazy so jax only loads on use).
+
+    Hoisted out of device_dense_blocks so the trace cache is shared across
+    calls — the (nnz_pad, nrows, ncols) shapes key the cache, and streaming
+    the same store twice (multi_batch_pca_csr's two passes) reuses one
+    compile instead of retracing per call.
+    """
+    global _SCATTER
+    if _SCATTER is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("nrows", "ncols"))
+        def _scatter(vals, flat, nrows, ncols):
+            out = jnp.zeros((nrows * ncols + ncols,), jnp.float32)
+            out = out.at[flat].add(vals)
+            return out[: nrows * ncols].reshape(nrows, ncols)
+
+        _SCATTER = _scatter
+    return _SCATTER
+
+
+_SCATTER = None
+
+
+def _scatter_densify_sharded(mesh, rows_per_dev: int, ncols: int):
+    """Sharded scatter-densify: each device scatters its own sub-rows'
+    nnz pairs, so sparse transfer composes with the cells mesh (the nnz
+    bytes travel straight to their shard; no single-device densify +
+    reshard). Cached per (mesh, rows_per_dev, ncols)."""
+    global _SCATTER_SHARDED
+    key = (mesh, rows_per_dev, ncols)
+    if key not in _SCATTER_SHARDED:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import CELLS_AXIS
+
+        def body(vals, flat):                      # (1, nnzp) per device
+            out = jnp.zeros((rows_per_dev * ncols + ncols,), jnp.float32)
+            out = out.at[flat[0]].add(vals[0])
+            return out[: rows_per_dev * ncols].reshape(rows_per_dev, ncols)
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(CELLS_AXIS, None), P(CELLS_AXIS, None)),
+                out_specs=P(CELLS_AXIS, None),
+            )
+        )
+        nnz_sh = NamedSharding(mesh, P(CELLS_AXIS, None))
+        _SCATTER_SHARDED[key] = (fn, nnz_sh)
+    return _SCATTER_SHARDED[key]
+
+
+_SCATTER_SHARDED: dict = {}
+
+
 def device_dense_blocks(
-    csr: CSRCells, block_rows: int = 8192, pad: bool = True
+    csr: CSRCells, block_rows: int = 8192, pad: bool = True, mesh=None
 ):
     """Sparse-transfer variant of :func:`dense_blocks`: ships each block as
     (flat-index, value) nnz pairs and densifies ON DEVICE with a
@@ -155,19 +218,70 @@ def device_dense_blocks(
     nonzero scatters into its own distinct slot, so the result is
     bit-identical to the host densify (no summation-order ambiguity).
     Padded nnz entries target a spare slot past the block and are sliced
-    off. Falls back to host densify when ``block_rows * G`` overflows the
-    int32 flat index space.
+    off. Falls back to host densify when the per-device row span overflows
+    the int32 flat index space.
+
+    With ``mesh`` (a 1-D cells mesh), the block's rows are split per device
+    on the host, each device receives ONLY its own rows' nnz pairs, and the
+    scatter runs under shard_map — the yielded block is already row-sharded
+    over the mesh, so the sparse-transfer win composes with the distributed
+    engine (the reference's DelayedArray-sparse-blocks → parallel-PCA
+    composition, R/multiBatchPCA.R:217-219). ``block_rows`` is rounded up
+    to a device multiple.
 
     Yields (device jnp block, n_valid) — a drop-in for dense_blocks
     consumers (the TPU analog of beachmat handing DelayedArray sparse
-    blocks straight to the backend, reference R/multiBatchPCA.R:217-219).
+    blocks straight to the backend).
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
 
     n, g = csr.shape
+
+    if mesh is not None:
+        ndev = int(mesh.devices.size)
+        if block_rows % ndev:
+            block_rows = -(-block_rows // ndev) * ndev
+        rpd = block_rows // ndev
+        if rpd * g + g > 2**31 - 1:  # int32 flat-index overflow guard
+            from ..parallel.mesh import cells_sharding
+
+            sh = cells_sharding(mesh)
+            for block, n_valid in dense_blocks(csr, block_rows, pad):
+                yield jax.device_put(jnp.asarray(block), sh), n_valid
+            return
+        # max nnz over every (block, device-shard) row span
+        cuts = np.arange(0, n + rpd, rpd)
+        cuts[-1] = min(cuts[-1], n)
+        ip = np.asarray(csr.indptr)
+        nnz_max = int(np.max(ip[np.minimum(cuts[1:], n)] - ip[cuts[:-1]])) if n else 0
+        nnz_pad = 1 << max(nnz_max - 1, 1).bit_length()
+        fn, nnz_sh = _scatter_densify_sharded(mesh, rpd, g)
+        sentinel = rpd * g
+        for start in range(0, n, block_rows):
+            end = min(start + block_rows, n)
+            vals = np.zeros((ndev, nnz_pad), dtype=np.float32)
+            flat = np.full((ndev, nnz_pad), sentinel, dtype=np.int32)
+            for s in range(ndev):
+                r0 = min(start + s * rpd, end)
+                r1 = min(r0 + rpd, end)
+                if r1 <= r0:
+                    break
+                lo, hi = int(ip[r0]), int(ip[r1])
+                cnt = hi - lo
+                vals[s, :cnt] = csr.data[lo:hi]
+                counts = ip[r0 + 1 : r1 + 1] - ip[r0:r1]
+                rows = np.repeat(np.arange(r1 - r0, dtype=np.int64), counts)
+                flat[s, :cnt] = rows * g + csr.indices[lo:hi]
+            block = fn(
+                jax.device_put(vals, nnz_sh), jax.device_put(flat, nnz_sh)
+            )
+            n_valid = end - start
+            if not pad and n_valid < block_rows:
+                block = block[:n_valid]
+            yield block, n_valid
+        return
+
     if block_rows * g + g > 2**31 - 1:  # int32 flat-index overflow guard
         for block, n_valid in dense_blocks(csr, block_rows, pad):
             yield jnp.asarray(block), n_valid
@@ -178,14 +292,9 @@ def device_dense_blocks(
         (int(csr.indptr[min(s + block_rows, n)] - csr.indptr[s]) for s in starts),
         default=0,
     )
-    nnz_pad = 1 << max(nnz_max - 1, 1).bit_length()  # one compile per store
+    nnz_pad = 1 << max(nnz_max - 1, 1).bit_length()  # one compile per shape
     sentinel = block_rows * g                        # spare-slot flat index
-
-    @functools.partial(jax.jit, static_argnames=("nrows", "ncols"))
-    def _scatter(vals, flat, nrows, ncols):
-        out = jnp.zeros((nrows * ncols + ncols,), jnp.float32)
-        out = out.at[flat].add(vals)
-        return out[: nrows * ncols].reshape(nrows, ncols)
+    _scatter = _scatter_densify()
 
     for start in range(0, n, block_rows):
         end = min(start + block_rows, n)
@@ -206,13 +315,17 @@ def device_dense_blocks(
 
 
 def auto_blocks(
-    csr: CSRCells, block_rows: int = 8192, pad: bool = True
+    csr: CSRCells, block_rows: int = 8192, pad: bool = True, mesh=None
 ):
     """Pick the block streamer by density: sparse transfer (device-side
     densify, bit-identical — see :func:`device_dense_blocks`) under 25%
     density, host densify otherwise (8 bytes/nnz beats 4 bytes/slot only
-    while nnz < rows*G/2; 25% keeps a 2x margin for scatter cost)."""
+    while nnz < rows*G/2; 25% keeps a 2x margin for scatter cost). The
+    choice is per-matrix, so mixed dense/sparse batch lists each get their
+    best streamer. ``mesh`` routes the sparse path through the sharded
+    scatter (see :func:`device_dense_blocks`); dense host blocks are
+    yielded as numpy for the caller to place."""
     n, g = csr.shape
     if n and g and int(csr.data.shape[0]) < 0.25 * n * g:
-        return device_dense_blocks(csr, block_rows, pad)
+        return device_dense_blocks(csr, block_rows, pad, mesh=mesh)
     return dense_blocks(csr, block_rows, pad)

@@ -182,6 +182,7 @@ def query_knn(
     data_mask: Optional[jnp.ndarray] = None,
     squared: bool = False,
     method: str = "exact",
+    exact_selection: bool = False,
 ) -> KNNResult:
     """For each row of ``query``, the ``k`` nearest rows of ``data``.
 
@@ -198,6 +199,15 @@ def query_knn(
         for the two-pass kernel to win (TPU only).
     ``k`` must not exceed the number of valid data rows; ``n_data_valid``
     or ``data_mask`` exclude padded/invalid data rows.
+
+    Precision note: the "chunked" path's candidate selection carries
+    ~2^-21 error relative to SCORE MAGNITUDE (2|q.x|, ||x||^2), not to
+    neighbour distance gaps. Cosine-normalized / centered pipelines (every
+    internal caller) keep magnitudes O(1), but standalone queries on
+    raw-scale data with |x| >> neighbour gaps can mis-select genuinely
+    distinct neighbours. Reported distances are always exact fp32;
+    ``exact_selection=True`` upgrades selection to a HIGHEST-equivalent
+    6-pass split (~1.6x pass-1 cost) for such inputs.
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -218,6 +228,7 @@ def query_knn(
         return query_knn_tpu(
             query, data, k, n_data_valid=n_data_valid, data_mask=data_mask,
             squared=squared, bf16=(method == "bf16"),
+            exact_selection=exact_selection,
         )
     nd = data.shape[0]
     if data_mask is not None:

@@ -65,7 +65,7 @@ DT = 1024            # data rows per kernel block
 RESCORE_TILE = 512   # query rows per rescore block
 
 
-def _chunkmax_kernel(q_ref, d_ref, dn_ref, m_ref):
+def _chunkmax_kernel(q_ref, d_ref, dn_ref, m_ref, *, six_pass: bool = False):
     """One (QT x DT) score block -> per-SUB-row sub-chunk max, transposed.
 
     Scores are computed as (DT, QT) so the 32-row grouping is a leading-dim
@@ -84,22 +84,38 @@ def _chunkmax_kernel(q_ref, d_ref, dn_ref, m_ref):
     # the selected sub-chunks in full fp32, so a deviation needs a true
     # neighbour within ~2^-21 relative of the k-th sub-chunk max — inside
     # the tie resolution the "exact up to tie-breaking" contract already
-    # excludes. bf16 inputs: single MXU pass with fp32 accumulation (the
-    # fast candidate-selection mode, ~2^-8 error).
+    # excludes. ``six_pass`` upgrades to the HIGHEST-equivalent three-way
+    # split (a ~= a1+a2+a3 in bf16; dropped cross terms O(2^-42) relative)
+    # for callers whose raw-scale scores make ~2^-21-of-magnitude matter
+    # (query_knn(exact_selection=True)). bf16 inputs: single MXU pass with
+    # fp32 accumulation (the fast candidate-selection mode, ~2^-8 error).
     dims = (((1,), (1,)), ((), ()))
     if q_ref.dtype == jnp.float32:
         q = q_ref[:]
         d = d_ref[:]
-        qh = q.astype(jnp.bfloat16)
-        dh = d.astype(jnp.bfloat16)
-        ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
-        dl = (d - dh.astype(jnp.float32)).astype(jnp.bfloat16)
         dot = lambda a, b: lax.dot_general(
             a, b, dimension_numbers=dims,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
-        s = dot(dh, qh) + dot(dh, ql) + dot(dl, qh)
+        qh = q.astype(jnp.bfloat16)
+        dh = d.astype(jnp.bfloat16)
+        qr = q - qh.astype(jnp.float32)
+        dr = d - dh.astype(jnp.float32)
+        if six_pass:
+            qm = qr.astype(jnp.bfloat16)
+            dm = dr.astype(jnp.bfloat16)
+            ql = (qr - qm.astype(jnp.float32)).astype(jnp.bfloat16)
+            dl = (dr - dm.astype(jnp.float32)).astype(jnp.bfloat16)
+            s = (
+                dot(dh, qh)
+                + (dot(dh, qm) + dot(dm, qh))
+                + (dot(dh, ql) + dot(dm, qm) + dot(dl, qh))
+            )
+        else:
+            ql = qr.astype(jnp.bfloat16)
+            dl = dr.astype(jnp.bfloat16)
+            s = dot(dh, qh) + dot(dh, ql) + dot(dl, qh)
     else:
         s = lax.dot_general(
             d_ref[:], q_ref[:], dimension_numbers=dims,
@@ -110,23 +126,26 @@ def _chunkmax_kernel(q_ref, d_ref, dn_ref, m_ref):
     m_ref[:] = jnp.max(s_t.reshape(DT // SUB, SUB, QT), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "six_pass"))
 def chunk_max_scores(
-    query: jnp.ndarray, data: jnp.ndarray, dn: jnp.ndarray, interpret: bool = False
+    query: jnp.ndarray, data: jnp.ndarray, dn: jnp.ndarray,
+    interpret: bool = False, six_pass: bool = False,
 ):
     """(N_d/SUB, N_q) transposed sub-chunk maxima of the score matrix.
 
     ``query``/``data`` must be padded: N_q % QT == 0, N_d % DT == 0, and the
     feature dim padded to a multiple of 128 (or exactly 64). ``dn`` =
     (N_d, 1) fp32 column of ||x||^2 with +inf for invalid rows. fp32 inputs
-    select at ~2^-21 relative score precision (3-pass bf16 split); bf16
-    inputs trade ~3 decimal digits for a single-pass MXU matmul.
+    select at ~2^-21 relative score precision (3-pass bf16 split;
+    ``six_pass`` buys full-fp32-equivalent selection for ~1.6x pass-1
+    cost); bf16 inputs trade ~3 decimal digits for a single-pass MXU
+    matmul.
     """
     nq, d = query.shape
     nd = data.shape[0]
     grid = (nq // QT, nd // DT)
     return pl.pallas_call(
-        _chunkmax_kernel,
+        functools.partial(_chunkmax_kernel, six_pass=six_pass),
         grid=grid,
         in_specs=[
             pl.BlockSpec((QT, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -155,9 +174,9 @@ def _pad_axis(x, multiple, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bf16"))
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16", "six_pass"))
 def _prep_pass1(query, data, data_valid, interpret: bool = False,
-                bf16: bool = False):
+                bf16: bool = False, six_pass: bool = False):
     """Pad, compute data norms, run the sub-chunk-max kernel; returns the
     (nq, C32) sub-chunk-max matrix. With ``bf16`` the matmul inputs are cast
     to bfloat16 (fp32 accumulation; norms stay fp32) for a single-pass MXU
@@ -176,7 +195,7 @@ def _prep_pass1(query, data, data_valid, interpret: bool = False,
     # stays TRANSPOSED (C32, nq_pad): transposing the full matrix here costs
     # a second m32-sized HBM buffer (7.9 GB at 500k x 126k — the 1M-atlas
     # OOM); _select_subchunks transposes per query tile instead.
-    return chunk_max_scores(q, x, dn[:, None], interpret)
+    return chunk_max_scores(q, x, dn[:, None], interpret, six_pass)
 
 
 SELECT_TILE = 16384       # query rows selected per tile (bounds HBM temps)
@@ -331,7 +350,7 @@ MT_BUDGET = 4 << 30  # max bytes for one pass-1 sub-chunk-max buffer
 
 
 def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False,
-                  bf16: bool = False):
+                  bf16: bool = False, six_pass: bool = False):
     """Stage orchestrator. Stages are separately jitted so each gets its
     own input layouts (see _rescore_chunks); when this function is itself
     traced inside a larger jit the stages inline and behave as one
@@ -347,7 +366,7 @@ def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False,
     nqp = -(-nq // QT) * QT
     npieces = max(1, -(-(4 * (ndp // SUB) * nqp) // MT_BUDGET))
     if npieces == 1:
-        m_t = _prep_pass1(query, data, data_valid, interpret, bf16)
+        m_t = _prep_pass1(query, data, data_valid, interpret, bf16, six_pass)
         top_sub = _select_subchunks(m_t, k, interpret)[:nq]
     else:
         qchunk = QT * (-(-(-(-nq // npieces)) // QT))
@@ -356,7 +375,7 @@ def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False,
             qs = query[lo:lo + qchunk]
             if qs.shape[0] < qchunk:          # one compiled shape per size
                 qs = jnp.pad(qs, ((0, qchunk - qs.shape[0]), (0, 0)))
-            m_t = _prep_pass1(qs, data, data_valid, interpret, bf16)
+            m_t = _prep_pass1(qs, data, data_valid, interpret, bf16, six_pass)
             tops.append(_select_subchunks(m_t, k, interpret)[:qchunk])
         top_sub = jnp.concatenate(tops, axis=0)[:nq]
     data3, dn2 = _chunked_view(data, data_valid)
@@ -372,13 +391,17 @@ def query_knn_tpu(
     data_mask: Optional[jnp.ndarray] = None,
     squared: bool = False,
     bf16: bool = False,
+    exact_selection: bool = False,
 ):
     """Exact kNN via the fused sub-chunk-max kernel + hierarchical rescore.
 
     Same contract as knn.query_knn; requires N_d/128 >= k chunks (smaller
     inputs should use the XLA path). ``bf16`` selects candidate chunks
     with a bf16 matmul (recall slightly below 1 near score ties; reported
-    distances stay exact fp32).
+    distances stay exact fp32). ``exact_selection`` upgrades fp32 candidate
+    selection to the HIGHEST-equivalent 6-pass split (see _chunkmax_kernel)
+    for raw-scale inputs where ~2^-21-of-score-magnitude can span genuine
+    neighbour gaps.
     """
     from .knn import KNNResult
 
@@ -392,6 +415,7 @@ def query_knn_tpu(
     else:
         valid = jnp.ones((nd,), dtype=bool)
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
-    idx, sq = _knn_two_pass(query, data, k, valid, interpret, bf16)
+    idx, sq = _knn_two_pass(query, data, k, valid, interpret, bf16,
+                            exact_selection and not bf16)
     dist = sq if squared else jnp.sqrt(sq)
     return KNNResult(idx, dist)

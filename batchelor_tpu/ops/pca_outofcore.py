@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.csr import CSRCells, dense_blocks, device_dense_blocks
+from ..io.csr import CSRCells, auto_blocks, dense_blocks, device_dense_blocks
 from .pca import MultiBatchPCAResult, _randomized_psd_eigh, construct_weight_vector
 
 __all__ = ["multi_batch_pca_csr"]
@@ -62,8 +62,9 @@ def multi_batch_pca_csr(
     ``transfer`` picks how blocks reach the device: "dense" ships densified
     fp32 blocks, "sparse" ships nnz (index, value) pairs and densifies on
     device (io.csr.device_dense_blocks; bit-identical result, ~6x fewer
-    link bytes at 10% density), "auto" uses sparse for unsharded runs on
-    matrices under 25% density.
+    link bytes at 10% density), "auto" uses sparse per batch for matrices
+    under 25% density. Sparse composes with ``mesh``: each device receives
+    only its own rows' nnz pairs and the scatter runs sharded.
     """
     if transfer not in ("auto", "dense", "sparse"):
         raise ValueError(f"unknown transfer mode {transfer!r}")
@@ -85,15 +86,14 @@ def multi_batch_pca_csr(
         def put(x):  # noqa: F811 — sharded device_put for streamed blocks
             return jax.device_put(jnp.asarray(x), _shard)
 
-    if transfer == "sparse" or (
-        transfer == "auto"
-        and mesh is None
-        and sum(int(c.data.shape[0]) for c in batches)
-        < 0.25 * sum(n * g for n in ns)
-    ):
-        blocks = device_dense_blocks
-    else:
-        blocks = dense_blocks
+    def blocks(csr, block_rows):
+        """Per-batch streamer choice (one dense batch no longer forces host
+        densify on its sparse siblings, and vice versa)."""
+        if transfer == "sparse":
+            return device_dense_blocks(csr, block_rows=block_rows, mesh=mesh)
+        if transfer == "dense":
+            return dense_blocks(csr, block_rows=block_rows)
+        return auto_blocks(csr, block_rows=block_rows, mesh=mesh)
 
     # pass 1: per-batch gene sums + raw Gram accumulators
     grams = []

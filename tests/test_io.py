@@ -238,3 +238,67 @@ def test_auto_blocks_density_dispatch(rng):
     assert np.array_equal(
         np.concatenate([np.asarray(b)[:n] for b, n in sb]), sparse.to_dense()
     )
+
+
+def test_device_dense_blocks_sharded_mesh(rng):
+    """Sparse transfer composes with the cells mesh: each yielded block is
+    row-sharded over all 8 devices and equals the host densify exactly
+    (per-device scatter slots are still distinct per nonzero)."""
+    from batchelor_tpu.io.csr import device_dense_blocks
+    from batchelor_tpu.parallel.mesh import make_cells_mesh
+
+    mesh = make_cells_mesh(8)
+    x = _sparse(rng, 70, 10)
+    csr = CSRCells.from_dense(x)
+    host = list(dense_blocks(csr, block_rows=32))
+    dev = list(device_dense_blocks(csr, block_rows=32, mesh=mesh))
+    assert len(host) == len(dev) == 3
+    for (hb, hn), (db, dn) in zip(host, dev):
+        assert hn == dn
+        assert db.shape == hb.shape
+        assert len(db.sharding.device_set) == 8
+        assert np.array_equal(np.asarray(db), hb)
+    # odd block_rows round up to a device multiple
+    dev2 = list(device_dense_blocks(csr, block_rows=30, mesh=mesh))
+    assert dev2[0][0].shape[0] % 8 == 0
+    assert np.array_equal(
+        np.concatenate([np.asarray(b)[:n] for b, n in dev2]), x
+    )
+
+
+def test_outofcore_pca_sparse_mesh_equality(rng):
+    """transfer='sparse' with a mesh matches transfer='dense' on the same
+    mesh bit-for-bit (VERDICT r3 #3: the sparse-transfer win must survive
+    the distributed path; reference R/multiBatchPCA.R:217-219)."""
+    from batchelor_tpu.ops.pca_outofcore import multi_batch_pca_csr
+    from batchelor_tpu.parallel.mesh import make_cells_mesh
+
+    mesh = make_cells_mesh(8)
+    x1 = (_sparse(rng, 120, 40) * 3).astype(np.float32)
+    x2 = (_sparse(rng, 88, 40) * 3).astype(np.float32)
+    csrs = [CSRCells.from_dense(x1), CSRCells.from_dense(x2)]
+    sp = multi_batch_pca_csr(csrs, d=6, block_rows=32, eig_method="exact",
+                             transfer="sparse", mesh=mesh)
+    dn = multi_batch_pca_csr(csrs, d=6, block_rows=32, eig_method="exact",
+                             transfer="dense", mesh=mesh)
+    assert np.array_equal(np.asarray(sp.centers), np.asarray(dn.centers))
+    assert np.array_equal(np.asarray(sp.rotation), np.asarray(dn.rotation))
+    for a, b in zip(sp.components, dn.components):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_blocks_per_batch_mixed(rng):
+    """auto transfer picks the streamer PER batch: a dense batch no longer
+    forces host densify for its sparse siblings (ADVICE r3)."""
+    from batchelor_tpu.ops.pca_outofcore import multi_batch_pca_csr
+
+    xs = (_sparse(rng, 120, 40) * 3).astype(np.float32)       # ~10% density
+    xd = rng.random((90, 40)).astype(np.float32)              # 100% density
+    csrs = [CSRCells.from_dense(xs), CSRCells.from_dense(xd)]
+    auto = multi_batch_pca_csr(csrs, d=6, block_rows=32, eig_method="exact",
+                               transfer="auto")
+    dense = multi_batch_pca_csr(csrs, d=6, block_rows=32, eig_method="exact",
+                                transfer="dense")
+    assert np.array_equal(np.asarray(auto.centers), np.asarray(dense.centers))
+    for a, b in zip(auto.components, dense.components):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -114,3 +114,23 @@ def test_chunked_selection_precision(rng):
     assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
     assert np.allclose(np.asarray(ref.distances), np.asarray(out.distances),
                        atol=1e-5)
+
+
+def test_chunked_exact_selection_six_pass(rng):
+    """query_knn(exact_selection=True) routes the chunked path through the
+    HIGHEST-equivalent 6-pass split (knn_pallas._chunkmax_kernel six_pass)
+    and still matches the exact oracle on the adversarial near-tie
+    geometry — the opt-in for raw-scale standalone queries whose score
+    magnitudes dwarf neighbour gaps."""
+    d = 8
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    radii = 10.0 + 1e-3 * rng.permutation(1024)
+    x = (radii[:, None] * u[None, :]).astype(np.float32)
+    q = np.tile((9.0 * u).astype(np.float32), (16, 1))
+    ref = query_knn(jnp.asarray(q), jnp.asarray(x), 4, method="exact")
+    out = query_knn(jnp.asarray(q), jnp.asarray(x), 4, method="chunked",
+                    exact_selection=True)
+    assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
+    assert np.allclose(np.asarray(ref.distances), np.asarray(out.distances),
+                       atol=1e-5)
