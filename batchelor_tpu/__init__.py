@@ -24,7 +24,7 @@ from .ops.correction import (
 )
 from .correct.fast_mnn import fast_mnn, reduced_mnn, MNNResult, MergeStepInfo
 from .correct.classic_mnn import mnn_correct
-from .correct.cluster_mnn import cluster_mnn, ClusterMNNResult
+from .correct.cluster_mnn import cluster_mnn, cluster_mnn_csr, ClusterMNNResult
 from .correct.linear import (
     rescale_batches,
     regress_batches,

@@ -21,7 +21,7 @@ from ..ops.pca import MultiBatchPCAResult, multi_batch_pca
 from ..utils.batching import check_batch_consistency, check_restrictions, divide_into_batches
 from .fast_mnn import MNNResult, reduced_mnn
 
-__all__ = ["cluster_mnn", "kmeans_clusters", "ClusterMNNResult"]
+__all__ = ["cluster_mnn", "cluster_mnn_csr", "kmeans_clusters", "ClusterMNNResult"]
 
 
 import functools as _functools
@@ -155,6 +155,262 @@ def _compute_centroids(batches, clusters, restrict):
     return centers, levels
 
 
+def _csr_l2_norms(csr, subset=None) -> np.ndarray:
+    """Per-cell L2 norms of a CSRCells store over ``subset`` genes, O(nnz)
+    on the host (the out-of-core analog of cosine_norm(mode='l2norm'))."""
+    s = csr if subset is None else csr.select_genes(np.asarray(subset))
+    sq = np.zeros(s.n_cells, np.float64)
+    counts = np.diff(s.indptr)
+    nz = counts > 0
+    if nz.any():
+        sq[nz] = np.add.reduceat(
+            s.data.astype(np.float64) ** 2, s.indptr[:-1][nz]
+        )
+    return np.sqrt(sq)
+
+
+def _csr_cluster_means(
+    csr, assign: np.ndarray, n_clusters: int, row_scale: np.ndarray,
+    nnz_chunk: int = 1 << 26,
+) -> np.ndarray:
+    """(n_clusters, G) means of scaled CSR rows, streamed over nnz chunks
+    on the host (one bincount pass; no densify). ``assign`` may contain -1
+    for excluded (non-restricted) rows. The out-of-core analog of the
+    reference's sumCountsAcrossCells centroids (R/clusterMNN.R:228-242)."""
+    g = csr.n_genes
+    counts = np.diff(csr.indptr)
+    assign_nnz = np.repeat(assign, counts)
+    scale_nnz = np.repeat(row_scale, counts)
+    sums = np.zeros(n_clusters * g, np.float64)
+    nnz = csr.data.shape[0]
+    for lo in range(0, nnz, nnz_chunk):
+        hi = min(lo + nnz_chunk, nnz)
+        a = assign_nnz[lo:hi]
+        keep = a >= 0
+        flat = a[keep].astype(np.int64) * g + csr.indices[lo:hi][keep]
+        w = csr.data[lo:hi][keep].astype(np.float64) * scale_nnz[lo:hi][keep]
+        sums += np.bincount(flat, weights=w, minlength=n_clusters * g)
+    ncells = np.bincount(assign[assign >= 0], minlength=n_clusters).astype(np.float64)
+    return (sums.reshape(n_clusters, g) / np.maximum(ncells, 1.0)[:, None]).astype(
+        np.float32
+    )
+
+
+@jax.jit
+def _proj_block(block, l2, rotation, adj, valid):
+    """Cosine-normalize rows like apply_cosine_norm (same fp32 division),
+    project onto the centroid rotation, and return per-row squared distance
+    to the nearest centroid-projection is deferred (proj only)."""
+    safe = jnp.maximum(jnp.asarray(1e-8, block.dtype), l2.astype(block.dtype))
+    b = jnp.where(valid[:, None], block / safe[:, None], 0.0)
+    return b @ rotation - adj[None, :]
+
+
+@jax.jit
+def _min_cent_dist(proj, cent):
+    d2 = (
+        jnp.sum(jnp.square(proj), axis=1)[:, None]
+        - 2 * jnp.matmul(proj, cent.T, precision=jax.lax.Precision.HIGHEST)
+        + jnp.sum(jnp.square(cent), axis=1)[None, :]
+    )
+    return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+
+
+@jax.jit
+def _propagate_block(proj, cent, delta, sigma):
+    """Softmax-weighted centroid deltas (the reference's
+    .smooth_gaussian_from_centroids, R/clusterMNN.R:289-312)."""
+    d2 = (
+        jnp.sum(jnp.square(proj), axis=1)[:, None]
+        - 2 * jnp.matmul(proj, cent.T, precision=jax.lax.Precision.HIGHEST)
+        + jnp.sum(jnp.square(cent), axis=1)[None, :]
+    )
+    w = jax.nn.softmax(-d2 / jnp.square(sigma), axis=1)
+    return proj + w @ delta
+
+
+def cluster_mnn_csr(
+    batches: Sequence,
+    *,
+    clusters,
+    restrict=None,
+    cos_norm: bool = True,
+    merge_order=None,
+    auto_merge: bool = False,
+    min_batch_skip: Optional[float] = 0.0,
+    subset_row: Optional[np.ndarray] = None,
+    correct_all: bool = False,
+    batch_names: Optional[Sequence[str]] = None,
+    block_rows: int = 16384,
+) -> ClusterMNNResult:
+    """Out-of-core clusterMNN over CSRCells stores.
+
+    Matches :func:`cluster_mnn` on the densified inputs, but the expression
+    matrices never densify beyond one (block_rows, G_sub) device block:
+    centroids are streamed host-side segment means over the CSR nnz
+    (O(nnz), no device transfer of the expression at all), and the
+    per-cell projection + Gaussian propagation stream subset-gene blocks
+    through the device via the sparse-transfer auto streamer. The
+    reference runs this entry point on file-backed matrices through
+    block-processed cosineNorm (R/cosineNorm.R:59-61) and streamed
+    centroids (R/clusterMNN.R:228-242); this is the TPU-native analog.
+
+    ``clusters``: list of per-batch label vectors, or an int K to
+    auto-cluster each batch (k-means on its top-50 streamed PCs).
+    """
+    from ..io.csr import CSRCells, auto_blocks
+    from ..ops.pca_outofcore import multi_batch_pca_csr
+
+    if not isinstance(batches, (list, tuple)) or not all(
+        isinstance(b, CSRCells) for b in batches
+    ):
+        raise ValueError("cluster_mnn_csr expects a list of CSRCells stores")
+    nb = len(batches)
+    if nb < 2:
+        raise ValueError("at least two batches must be specified")
+    g = batches[0].n_genes
+    if any(b.n_genes != g for b in batches):
+        raise ValueError("all batches must have the same genes")
+    if restrict is None:
+        restrict = [None] * nb
+
+    sub = None if subset_row is None else np.asarray(subset_row)
+
+    if isinstance(clusters, int):
+        kk = clusters
+        clusters = []
+        for b in batches:
+            s = b if sub is None else b.select_genes(sub)
+            pcs = multi_batch_pca_csr(
+                [s], d=min(50, s.n_cells - 1, s.n_genes), block_rows=block_rows
+            ).components[0]
+            clusters.append(kmeans_clusters(pcs, kk))
+    if len(clusters) != nb:
+        raise ValueError("'clusters' should have one entry per batch")
+
+    # cosine-norm scales per cell (l2 over subset genes, applied everywhere
+    # — same semantics as the dense path / reference R/clusterMNN.R:138-141)
+    if cos_norm:
+        l2s = [_csr_l2_norms(b, sub) for b in batches]
+    else:
+        l2s = [np.full(b.n_cells, 1.0) for b in batches]
+    scales = [1.0 / np.maximum(l2, 1e-8) for l2 in l2s]
+
+    # streamed centroids over restricted cells
+    centers, levels = [], []
+    for i, (b, cl) in enumerate(zip(batches, clusters)):
+        cl = np.asarray(cl)
+        if restrict[i] is not None:
+            keep = np.zeros(b.n_cells, bool)
+            keep[np.asarray(restrict[i])] = True
+        else:
+            keep = np.ones(b.n_cells, bool)
+        lv = sorted(set(cl[keep].tolist()))
+        lookup = {v: j for j, v in enumerate(lv)}
+        assign = np.full(b.n_cells, -1, dtype=np.int64)
+        for r in np.nonzero(keep)[0]:
+            assign[r] = lookup.get(cl[r], -1)
+        centers.append(
+            jnp.asarray(_csr_cluster_means(b, assign, len(lv), scales[i]))
+        )
+        levels.append(lv)
+
+    total_centroids = sum(c.shape[0] for c in centers)
+    pca = multi_batch_pca(
+        centers,
+        d=total_centroids - 1,
+        subset_row=sub,
+        get_all_genes=correct_all and sub is not None,
+        method="gram",
+        batch_names=batch_names,
+    )
+    merge_out = reduced_mnn(
+        [jnp.asarray(c) for c in pca.components],
+        k=1,
+        merge_order=merge_order,
+        auto_merge=auto_merge,
+        min_batch_skip=min_batch_skip,
+        batch_names=batch_names,
+    )
+
+    rotation = pca.rotation
+    centers_vec = pca.centers
+    if correct_all and sub is not None:
+        s_dev = jnp.asarray(sub)
+        rotation = rotation[s_dev]
+        centers_vec = centers_vec[s_dev]
+    adj = centers_vec @ rotation
+
+    corrected_blocks = []
+    cluster_labels = []
+    last = 0
+    merged_corrected = merge_out.corrected
+    for i in range(nb):
+        store = batches[i] if sub is None else batches[i].select_genes(sub)
+        cent = pca.components[i]
+        ncent = cent.shape[0]
+        idx = jnp.arange(last, last + ncent)
+        last += ncent
+        corrected_cent = merged_corrected[idx]
+        delta = corrected_cent - cent
+
+        # pass 1: streamed projection (kept on device, (N_b, d) only)
+        projs = []
+        row0 = 0
+        for block, n_valid in auto_blocks(store, block_rows=block_rows):
+            l2b = jnp.asarray(
+                np.pad(l2s[i][row0 : row0 + n_valid].astype(np.float32),
+                       (0, block.shape[0] - n_valid), constant_values=1.0)
+            )
+            valid = jnp.arange(block.shape[0]) < n_valid
+            projs.append(
+                _proj_block(jnp.asarray(block), l2b, rotation, adj, valid)[:n_valid]
+            )
+            row0 += n_valid
+        proj = jnp.concatenate(projs, axis=0)
+
+        # sigma: median distance of restricted cells to nearest centroid
+        q = proj
+        if restrict[i] is not None:
+            q = proj[jnp.asarray(np.asarray(restrict[i]))]
+        sigma = jnp.median(_min_cent_dist(q, cent))
+
+        corrected_blocks.append(_propagate_block(proj, cent, delta, sigma))
+        cluster_labels.append(np.asarray(clusters[i]))
+
+    corrected = jnp.concatenate(corrected_blocks, axis=0)
+    cluster = np.concatenate(cluster_labels)
+    origin = np.repeat(np.arange(nb), [b.n_cells for b in batches])
+    labels = (
+        np.asarray(batch_names)[origin] if batch_names is not None else origin
+    )
+
+    all_pairs = np.concatenate(
+        [info.pairs for info in merge_out.merge_info]
+    ) if merge_out.merge_info else np.empty((0, 2), dtype=np.int64)
+    meta = _union_find(total_centroids, all_pairs)
+    centroid_batches = np.repeat(np.arange(nb), [len(lv) for lv in levels])
+    cluster_meta = {
+        "cluster": np.concatenate([np.asarray(lv) for lv in levels]),
+        "batch": (
+            np.asarray(batch_names)[centroid_batches]
+            if batch_names is not None
+            else centroid_batches
+        ),
+        "meta": meta,
+    }
+
+    return ClusterMNNResult(
+        corrected=corrected,
+        batch=labels,
+        cluster=cluster,
+        cluster_meta=cluster_meta,
+        centroid_result=merge_out,
+        rotation=pca.rotation,
+        centers=pca.centers,
+    )
+
+
 def cluster_mnn(
     batches_or_single,
     batch: Optional[Sequence] = None,
@@ -268,10 +524,11 @@ def cluster_mnn(
             q = proj[jnp.asarray(np.asarray(restrict[i]))]
         _, dist = query_knn(q, cent, 1)
         sigma = jnp.median(dist[:, 0])
-        # softmax-weighted delta (reference .smooth_gaussian_from_centroids)
+        # softmax-weighted delta (reference .smooth_gaussian_from_centroids);
+        # distance matmul at HIGHEST (TPU default bf16 is too coarse here)
         d2 = (
             jnp.sum(jnp.square(proj), axis=1)[:, None]
-            - 2 * proj @ cent.T
+            - 2 * jnp.matmul(proj, cent.T, precision=jax.lax.Precision.HIGHEST)
             + jnp.sum(jnp.square(cent), axis=1)[None, :]
         )
         w = jax.nn.softmax(-d2 / jnp.square(sigma), axis=1)

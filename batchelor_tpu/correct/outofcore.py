@@ -39,6 +39,7 @@ from ..io.csr import CSRCells, auto_blocks
 from ..ops.normalization import rescale_size_factors
 from ..ops.pca_outofcore import multi_batch_pca_csr
 from ..ops.stats import GeneVarResult, combine_var, fit_trend_var, get_top_hvgs
+from ..utils.telemetry import trace_span
 from .fast_mnn import MNNResult, reduced_mnn
 from .experiments import QuickCorrectResult
 
@@ -51,48 +52,24 @@ __all__ = [
 ]
 
 
-@jax.jit
-def _block_avg_acc(block, sf, n_valid):
-    """Per-gene sum of sf-normalized counts for one padded block."""
-    mask = jnp.arange(block.shape[0]) < n_valid
-    x = jnp.where(mask[:, None], block / sf[:, None], 0.0)
-    return jnp.sum(x, axis=0)
-
-
-@jax.jit
-def _block_log_moments(block, sf, n_valid, log_base):
-    """Per-gene (sum, sum of squares) of log-normalized expression for one
-    padded block (pseudo_count=1)."""
-    mask = jnp.arange(block.shape[0]) < n_valid
-    lg = jnp.log1p(block / sf[:, None]) / jnp.log(log_base)
-    lg = jnp.where(mask[:, None], lg, 0.0)
-    return jnp.sum(lg, axis=0), jnp.sum(jnp.square(lg), axis=0)
-
-
 def _stream_stats(store: CSRCells, sf: np.ndarray, log_base: float,
                   block_rows: int):
-    """One pass: per-gene average of sf-normalized counts + log-expression
-    moments."""
+    """One O(nnz) host pass: per-gene average of sf-normalized counts +
+    log-expression moments. With pseudo_count=1 zeros contribute nothing,
+    so the per-gene sums come straight off the nnz buffer (threaded native
+    runtime; numpy bincount fallback) — no device transfer, no densified
+    blocks. ``block_rows`` is kept for signature stability (unused)."""
+    from ..native.bindings import csr_gene_stats
+
+    del block_rows
     g = store.n_genes
-    avg = jnp.zeros((g,), jnp.float32)
-    s1 = jnp.zeros((g,), jnp.float32)
-    s2 = jnp.zeros((g,), jnp.float32)
-    offset = 0
-    lb = jnp.asarray(log_base, jnp.float32)
-    for block, n_valid in auto_blocks(store, block_rows=block_rows):
-        sfb = np.ones(block.shape[0], np.float32)
-        sfb[:n_valid] = sf[offset:offset + n_valid]
-        b = jnp.asarray(block)
-        sfj = jnp.asarray(sfb)
-        avg = avg + _block_avg_acc(b, sfj, n_valid)
-        a, b2 = _block_log_moments(b, sfj, n_valid, lb)
-        s1 = s1 + a
-        s2 = s2 + b2
-        offset += n_valid
+    avg_s, s1, s2 = csr_gene_stats(
+        store.data, store.indices, store.indptr, sf, g, log_base
+    )
     n = store.n_cells
-    mean = np.asarray(s1) / n
-    var = (np.asarray(s2) - n * mean**2) / max(n - 1, 1)
-    return np.asarray(avg) / n, mean, np.maximum(var, 0.0)
+    mean = (s1 / n).astype(np.float64)
+    var = (s2 - n * mean**2) / max(n - 1, 1)
+    return avg_s / n, mean, np.maximum(var, 0.0)
 
 
 def _lognorm_cosine_csr(store: CSRCells, sf: np.ndarray, log_base: float,
@@ -175,64 +152,70 @@ def quick_correct_csr(
     sfs: List[np.ndarray] = []
     avgs: List[np.ndarray] = []
     decs: List[GeneVarResult] = []
-    for store in stores:
-        lib = store.row_sums()
-        if not np.all(lib > 0):
-            raise ValueError("all cells must have positive library sizes")
-        sf = (lib / lib.mean()).astype(np.float32)
-        sfs.append(sf)
-        avg, mean, var = _stream_stats(store, sf, log_base, block_rows)
-        avgs.append(avg)
-        trend = fit_trend_var(mean, var, span=span)
-        tech = trend(mean)
-        decs.append(GeneVarResult(mean=mean, total=var, tech=tech,
-                                  bio=var - tech))
+    with trace_span("quickcsr/stats"):
+        for store in stores:
+            lib = store.row_sums()
+            if not np.all(lib > 0):
+                raise ValueError("all cells must have positive library sizes")
+            sf = (lib / lib.mean()).astype(np.float32)
+            sfs.append(sf)
+            avg, mean, var = _stream_stats(store, sf, log_base, block_rows)
+            avgs.append(avg)
+            trend = fit_trend_var(mean, var, span=span)
+            tech = trend(mean)
+            decs.append(GeneVarResult(mean=mean, total=var, tech=tech,
+                                      bio=var - tech))
 
-    rescaled = rescale_size_factors(
-        [jnp.asarray(a) for a in avgs], [jnp.asarray(s) for s in sfs],
-        min_mean=min_mean,
-    )
-    rescaled = [np.asarray(r, np.float32) for r in rescaled]
+    with trace_span("quickcsr/rescale_hvg"):
+        rescaled = rescale_size_factors(
+            [jnp.asarray(a) for a in avgs], [jnp.asarray(s) for s in sfs],
+            min_mean=min_mean,
+        )
+        rescaled = [np.asarray(r, np.float32) for r in rescaled]
 
-    # HVG stats must reflect the *rescaled* normalization; the mean shifts
-    # by a per-batch constant under sf scaling only approximately, so we
-    # recompute moments when any rescaling factor differs materially.
-    decs2: List[GeneVarResult] = []
-    for store, sf0, sf1, dec in zip(stores, sfs, rescaled, decs):
-        if np.allclose(sf0, sf1, rtol=1e-6):
-            decs2.append(dec)
-            continue
-        _, mean, var = _stream_stats(store, sf1, log_base, block_rows)
-        trend = fit_trend_var(mean, var, span=span)
-        tech = trend(mean)
-        decs2.append(GeneVarResult(mean=mean, total=var, tech=tech,
-                                   bio=var - tech))
-    dec = combine_var(decs2)
-    hvgs = get_top_hvgs(dec, n=hvg_n)
+        # HVG stats must reflect the *rescaled* normalization; the mean
+        # shifts by a per-batch constant under sf scaling only
+        # approximately, so we recompute moments when any rescaling factor
+        # differs materially.
+        decs2: List[GeneVarResult] = []
+        for store, sf0, sf1, dec in zip(stores, sfs, rescaled, decs):
+            if np.allclose(sf0, sf1, rtol=1e-6):
+                decs2.append(dec)
+                continue
+            _, mean, var = _stream_stats(store, sf1, log_base, block_rows)
+            trend = fit_trend_var(mean, var, span=span)
+            tech = trend(mean)
+            decs2.append(GeneVarResult(mean=mean, total=var, tech=tech,
+                                       bio=var - tech))
+        dec = combine_var(decs2)
+        hvgs = get_top_hvgs(dec, n=hvg_n)
 
     # stage 4: sparse value transform on the HVG subset
-    transformed = [
-        _lognorm_cosine_csr(store.select_genes(hvgs), sf, log_base, cos_norm)
-        for store, sf in zip(stores, rescaled)
-    ]
+    with trace_span("quickcsr/transform"):
+        transformed = [
+            _lognorm_cosine_csr(store.select_genes(hvgs), sf, log_base, cos_norm)
+            for store, sf in zip(stores, rescaled)
+        ]
 
     # stage 5: streamed Gram PCA + MNN on coordinates
-    pca = multi_batch_pca_csr(
-        transformed, d=d, weights=weights, block_rows=block_rows,
-        batch_names=batch_names, mesh=mesh,
-    )
+    with trace_span("quickcsr/pca"):
+        pca = multi_batch_pca_csr(
+            transformed, d=d, weights=weights, block_rows=block_rows,
+            batch_names=batch_names, mesh=mesh,
+        )
     if mesh is not None:
         from ..parallel.driver import distributed_fast_mnn
 
-        res = distributed_fast_mnn(
-            [jnp.asarray(c) for c in pca.components], mesh,
-            k=k, prop_k=prop_k, ndist=ndist, merge_order=merge_order,
-            auto_merge=auto_merge,
-            min_batch_skip=(0.0 if min_batch_skip is None else min_batch_skip),
-            knn_method=("exact" if knn_method == "auto" else knn_method),
-            memory=memory, pad_buckets=pad_buckets,
-            checkpoint_dir=checkpoint_dir,
-        )
+        with trace_span("quickcsr/merge"):
+            res = distributed_fast_mnn(
+                [jnp.asarray(c) for c in pca.components], mesh,
+                k=k, prop_k=prop_k, ndist=ndist, merge_order=merge_order,
+                auto_merge=auto_merge,
+                min_batch_skip=(0.0 if min_batch_skip is None else min_batch_skip),
+                knn_method=("exact" if knn_method == "auto" else knn_method),
+                memory=memory, pad_buckets=pad_buckets,
+                checkpoint_dir=checkpoint_dir,
+            )
         if batch_names is not None:
             names = np.asarray(list(batch_names))
             res.batch = names[np.asarray(res.batch)]
@@ -241,12 +224,13 @@ def quick_correct_csr(
                 info.right = [batch_names[i] for i in info.right]
             res.batch_names = list(batch_names)
     else:
-        res = reduced_mnn(
-            [jnp.asarray(c) for c in pca.components],
-            k=k, prop_k=prop_k, ndist=ndist, merge_order=merge_order,
-            auto_merge=auto_merge, min_batch_skip=min_batch_skip,
-            batch_names=batch_names, knn_method=knn_method,
-        )
+        with trace_span("quickcsr/merge"):
+            res = reduced_mnn(
+                [jnp.asarray(c) for c in pca.components],
+                k=k, prop_k=prop_k, ndist=ndist, merge_order=merge_order,
+                auto_merge=auto_merge, min_batch_skip=min_batch_skip,
+                batch_names=batch_names, knn_method=knn_method,
+            )
     res = MNNResult(
         corrected=res.corrected,
         batch=res.batch,

@@ -84,6 +84,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.bt_csr_unlog_colsums.argtypes = [f32p, i32p, i64, i64, f64, f64p]
         lib.bt_csr_rescale.restype = None
         lib.bt_csr_rescale.argtypes = [f32p, i32p, i64, f64p, f64, f32p]
+        lib.bt_csr_gene_stats.restype = None
+        lib.bt_csr_gene_stats.argtypes = [
+            f32p, i32p, i64p, i64, i64, f32p, f64, f64p, f64p, f64p,
+        ]
         _lib = lib
         return _lib
 
@@ -255,6 +259,39 @@ def csr_unlog_colsums(data, indices, ncols, log_base) -> np.ndarray:
         return out
     u = np.expm1(data.astype(np.float64) * np.log(log_base))
     return np.bincount(indices, weights=u, minlength=ncols)
+
+
+def csr_gene_stats(data, indices, indptr, sf, ncols, log_base):
+    """Per-gene (sum of v/sf, sum of log-normalized, sum of squares) over
+    the nnz buffer — one threaded O(nnz) pass; the host-side substrate of
+    quick_correct_csr stages 1-3 (no device transfer at all). Returns
+    float64 (avg_sums, log_sums, log_sq_sums) of length ncols."""
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    sf = np.ascontiguousarray(sf, dtype=np.float32)
+    nrows = indptr.shape[0] - 1
+    lib = get_lib()
+    if lib is not None:
+        avg = np.empty(ncols, dtype=np.float64)
+        s1 = np.empty(ncols, dtype=np.float64)
+        s2 = np.empty(ncols, dtype=np.float64)
+        lib.bt_csr_gene_stats(
+            _ptr(data, ctypes.c_float), _ptr(indices, ctypes.c_int32),
+            _ptr(indptr, ctypes.c_int64), nrows, ncols,
+            _ptr(sf, ctypes.c_float), float(log_base),
+            _ptr(avg, ctypes.c_double), _ptr(s1, ctypes.c_double),
+            _ptr(s2, ctypes.c_double),
+        )
+        return avg, s1, s2
+    counts = np.diff(indptr)
+    row_sf = np.repeat(sf.astype(np.float64), counts)
+    norm = data.astype(np.float64) / row_sf
+    lg = np.log1p(norm) / np.log(log_base)
+    avg = np.bincount(indices, weights=norm, minlength=ncols)
+    s1 = np.bincount(indices, weights=lg, minlength=ncols)
+    s2 = np.bincount(indices, weights=lg * lg, minlength=ncols)
+    return avg, s1, s2
 
 
 def csr_rescale_values(data, indices, scale, log_base) -> np.ndarray:

@@ -279,6 +279,56 @@ void bt_csr_rescale(const float* data, const int32_t* indices, int64_t nnz,
   }, 4096);
 }
 
-int bt_version() { return 2; }
+// Per-gene streaming statistics for the quickCorrect prep stages, O(nnz)
+// on the host: sums of v/sf (scuttle::calculateAverage substrate), of
+// log(v/sf + 1)/log(base) (logNormCounts means) and its square (variance
+// moments), exploiting that pseudo_count=1 keeps zeros at zero so only
+// nnz entries contribute (reference R/multiBatchNorm.R:226-234 +
+// scran::modelGeneVar's per-gene moments). Thread-local (3 x ncols)
+// accumulators over row ranges, merged at the end.
+void bt_csr_gene_stats(const float* data, const int32_t* indices,
+                       const int64_t* indptr, int64_t nrows, int64_t ncols,
+                       const float* sf, double log_base, double* out_avg,
+                       double* out_s1, double* out_s2) {
+  const double inv_log = 1.0 / std::log(log_base);
+  int nt = hardware_threads();
+  nt = static_cast<int>(
+      std::min<int64_t>(nt, std::max<int64_t>(nrows / 1024, 1)));
+  std::vector<std::vector<double>> local(
+      nt, std::vector<double>(3 * ncols, 0.0));
+  std::vector<std::thread> threads;
+  int64_t chunk = (nrows + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(lo + chunk, nrows);
+    if (lo >= hi) break;
+    threads.emplace_back([&, lo, hi, t] {
+      double* acc = local[t].data();
+      for (int64_t r = lo; r < hi; ++r) {
+        const double s = sf[r];
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+          const double norm = static_cast<double>(data[p]) / s;
+          const double lg = std::log1p(norm) * inv_log;
+          const int64_t c = indices[p];
+          acc[c] += norm;
+          acc[ncols + c] += lg;
+          acc[2 * ncols + c] += lg * lg;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  std::fill(out_avg, out_avg + ncols, 0.0);
+  std::fill(out_s1, out_s1 + ncols, 0.0);
+  std::fill(out_s2, out_s2 + ncols, 0.0);
+  for (auto& acc : local) {
+    for (int64_t c = 0; c < ncols; ++c) {
+      out_avg[c] += acc[c];
+      out_s1[c] += acc[ncols + c];
+      out_s2[c] += acc[2 * ncols + c];
+    }
+  }
+}
+
+int bt_version() { return 3; }
 
 }  // extern "C"

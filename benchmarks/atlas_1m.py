@@ -1,17 +1,20 @@
 """1M-cell atlas demonstration: 8 batches x 125k cells on one chip.
 
-Single-chip scale demo for BASELINE config 4/5: distributed_fast_mnn on a
+Single-chip scale demo for BASELINE config 4: distributed_fast_mnn on a
 1-device mesh with shape-bucketed padding (compile reuse across the 7 merge
-steps). Prints per-step diagnostics and the end-to-end wall time.
+steps). Prints per-step diagnostics, one machine-readable JSON line per
+stage (bench.py style), and the end-to-end wall time.
 
 Usage: python benchmarks/atlas_1m.py [knn_method] [cells_per_batch] [diag]
 (defaults: bf16, 125000). With the third arg ``diag`` the script runs the
 full BASELINE config-4 workload: the merge with pair collection, then
-clusterMNN over a G-gene expression space, then block-processed
-mnnDeltaVariance over the collected pairs (host-resident gene space; no
-(N, G) densification on the device). Timing materializes a device-side
-scalar (NOTES.md measurement discipline).
+out-of-core clusterMNN over a G-gene CSR expression space
+(correct.cluster_mnn.cluster_mnn_csr — centroids are host-side streamed
+segment means, only (block, G) subset blocks ever reach the device), then
+block-processed mnnDeltaVariance over the collected pairs. Timing
+materializes a device-side scalar (NOTES.md measurement discipline).
 """
+import json
 import sys
 import time
 
@@ -29,6 +32,15 @@ import jax.numpy as jnp
 
 from batchelor_tpu.parallel.driver import distributed_fast_mnn
 from batchelor_tpu.parallel.mesh import make_cells_mesh
+
+STAGES = []
+
+
+def emit(metric: str, value: float, unit: str, **extra):
+    line = {"metric": metric, "value": round(float(value), 3), "unit": unit}
+    line.update(extra)
+    STAGES.append(line)
+    print(json.dumps(line), flush=True)
 
 
 def main():
@@ -65,46 +77,58 @@ def main():
               f"batch_size={info.batch_size:.3f} skipped={info.skipped}",
               flush=True)
     total = nb * n
-    print(f"total: {elapsed:.1f} s  ({total/elapsed/1e3:.1f}k cells/s/chip, "
-          f"{total} cells)", flush=True)
+    emit("atlas1m_merge", elapsed, "s", cells=total, knn_method=method)
+    emit("atlas1m_merge_throughput", total / elapsed / 1e3, "kcells/s/chip")
 
     if diag:
-        _diagnostics(rng, batches, assigns, res, n, nb)
+        _diagnostics(rng, assigns, res, n, nb)
+    out = {"metric": "atlas1m_total", "value": round(
+        sum(s["value"] for s in STAGES if s["unit"] == "s"), 3), "unit": "s",
+        "stages": STAGES}
+    print(json.dumps(out), flush=True)
 
 
-def _diagnostics(rng, pc_batches, assigns, res, n, nb):
+def _diagnostics(rng, assigns, res, n, nb):
     """BASELINE config 4: clusterMNN + blocked mnnDeltaVariance at 1M cells.
 
-    The expression space is a G-gene view of the same cell types (gene-space
-    means per type + noise), host-resident; clusterMNN consumes it on the
-    device (centroids are cluster means, so per-batch memory is one (n, G)
-    block at a time), mnnDeltaVariance streams it in pair chunks.
+    The expression space is a sparse G-gene view of the same cell types
+    (~10% density CSR stores, the realistic single-cell regime); clusterMNN
+    runs fully out-of-core (cluster_mnn_csr), mnnDeltaVariance streams the
+    stores in pair chunks.
     """
-    from batchelor_tpu.correct.cluster_mnn import cluster_mnn
+    from batchelor_tpu.correct.cluster_mnn import cluster_mnn_csr
     from batchelor_tpu.correct.diagnostics import mnn_delta_variance_blocked
+    from batchelor_tpu.io.csr import CSRCells
 
     g = 1000
+    density = 0.10
     gmeans = rng.normal(size=(10, g)).astype(np.float32) * 1.5
-    host = []
+    stores = []
+    t0 = time.perf_counter()
     for b in range(nb):
         x = gmeans[assigns[b]] + rng.normal(size=(n, g)).astype(np.float32) * 0.4
         x += rng.normal(size=(1, g)).astype(np.float32) * 0.3
         np.maximum(x, 0.0, out=x)
-        host.append(x)
-    print(f"gene space: {nb}x{n} x {g} genes "
-          f"({nb * n * g * 4 / 2**30:.1f} GiB host)", flush=True)
+        x *= rng.random(size=(n, g)) < density      # sparse single-cell view
+        stores.append(CSRCells.from_dense(x))
+        del x
+    nnz = sum(int(s.data.shape[0]) for s in stores)
+    print(f"gene space: {nb}x{n} x {g} genes, {nnz/1e6:.0f}M nnz CSR "
+          f"({nnz * 8 / 2**30:.2f} GiB host; generated in "
+          f"{time.perf_counter() - t0:.0f} s)", flush=True)
 
     t0 = time.perf_counter()
-    cm = cluster_mnn(
-        [jnp.asarray(x) for x in host],
+    cm = cluster_mnn_csr(
+        stores,
         clusters=[a for a in assigns],
         cos_norm=True,
+        block_rows=32768,
     )
     _ = float(jnp.sum(jnp.asarray(cm.corrected[:1, :1])))
-    print(f"clusterMNN: {time.perf_counter() - t0:.1f} s "
-          f"({cm.corrected.shape[1]} dims, "
-          f"{len(set(cm.cluster_meta['meta'].tolist()))} meta-clusters)",
-          flush=True)
+    elapsed = time.perf_counter() - t0
+    emit("atlas1m_cluster_mnn", elapsed, "s",
+         dims=int(cm.corrected.shape[1]),
+         meta_clusters=len(set(cm.cluster_meta["meta"].tolist())))
 
     pairs = [i.pairs for i in res.merge_info if i.pairs.size]
     npairs = sum(p.shape[0] for p in pairs)
@@ -114,11 +138,11 @@ def _diagnostics(rng, pc_batches, assigns, res, n, nb):
     # would time the tunnel, not the algorithm.
     cpu = jax.local_devices(backend="cpu")[0]
     t0 = time.perf_counter()
-    dv = mnn_delta_variance_blocked(host, pairs, cos_norm=True, device=cpu)
+    dv = mnn_delta_variance_blocked(stores, pairs, cos_norm=True, device=cpu)
     elapsed = time.perf_counter() - t0
-    print(f"mnnDeltaVariance (blocked): {elapsed:.1f} s "
-          f"({npairs} pairs, {npairs / elapsed / 1e3:.1f}k pairs/s, "
-          f"top adjusted var {float(np.max(dv.adjusted)):.4f})", flush=True)
+    emit("atlas1m_delta_variance", elapsed, "s", pairs=npairs,
+         kpairs_per_s=round(npairs / elapsed / 1e3, 1))
+    print(f"top adjusted var {float(np.max(dv.adjusted)):.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -108,3 +108,77 @@ def test_kmeans_clusters(rng):
     assert len(set(cl[:50])) == 1
     assert len(set(cl[50:])) == 1
     assert cl[0] != cl[99]
+
+
+def _sparse_logcounts(rng, n, g, lam=0.6):
+    return np.log1p(rng.poisson(lam, size=(n, g))).astype(np.float32)
+
+
+def test_cluster_mnn_csr_matches_dense(rng):
+    """Out-of-core clusterMNN over CSR stores matches the dense path
+    (VERDICT r3 #4; the reference runs clusterMNN on file-backed matrices
+    via block-processed cosineNorm R/cosineNorm.R:59-61 + streamed
+    centroids R/clusterMNN.R:228-242)."""
+    from batchelor_tpu.correct.cluster_mnn import cluster_mnn_csr
+    from batchelor_tpu.io.csr import CSRCells
+
+    x1 = _sparse_logcounts(rng, 240, 50)
+    x2 = _sparse_logcounts(rng, 180, 50) + 0.1
+    c1 = rng.integers(0, 3, 240)
+    c2 = rng.integers(0, 3, 180)
+    dn = cluster_mnn([jnp.asarray(x1), jnp.asarray(x2)], clusters=[c1, c2])
+    sp = cluster_mnn_csr(
+        [CSRCells.from_dense(x1), CSRCells.from_dense(x2)],
+        clusters=[c1, c2], block_rows=64,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp.corrected), np.asarray(dn.corrected), atol=1e-6, rtol=1e-6
+    )
+    assert np.array_equal(sp.cluster, dn.cluster)
+    assert np.array_equal(sp.cluster_meta["meta"], dn.cluster_meta["meta"])
+    a = sp.centroid_result.merge_info[0].pairs
+    b = dn.centroid_result.merge_info[0].pairs
+    assert np.array_equal(a, b)
+
+
+def test_cluster_mnn_csr_subset_restrict(rng):
+    """CSR path honors subset_row/correct_all and restriction like dense."""
+    from batchelor_tpu.correct.cluster_mnn import cluster_mnn_csr
+    from batchelor_tpu.io.csr import CSRCells
+
+    x1 = _sparse_logcounts(rng, 150, 40)
+    x2 = _sparse_logcounts(rng, 120, 40) + 0.2
+    c1 = rng.integers(0, 2, 150)
+    c2 = rng.integers(0, 2, 120)
+    sub = np.arange(0, 40, 2)
+    r1 = np.sort(rng.choice(150, 100, replace=False))
+    dn = cluster_mnn(
+        [jnp.asarray(x1), jnp.asarray(x2)], clusters=[c1, c2],
+        subset_row=sub, correct_all=True, restrict=[r1, None],
+    )
+    sp = cluster_mnn_csr(
+        [CSRCells.from_dense(x1), CSRCells.from_dense(x2)],
+        clusters=[c1, c2], subset_row=sub, correct_all=True,
+        restrict=[r1, None], block_rows=32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp.corrected), np.asarray(dn.corrected), atol=1e-6, rtol=1e-6
+    )
+    assert np.array_equal(sp.cluster_meta["cluster"], dn.cluster_meta["cluster"])
+
+
+def test_cluster_mnn_csr_input_validation(rng):
+    from batchelor_tpu.correct.cluster_mnn import cluster_mnn_csr
+    from batchelor_tpu.io.csr import CSRCells
+
+    x1 = _sparse_logcounts(rng, 50, 20)
+    with np.testing.assert_raises(ValueError):
+        cluster_mnn_csr([CSRCells.from_dense(x1)], clusters=[np.zeros(50)])
+    with np.testing.assert_raises(ValueError):
+        cluster_mnn_csr([x1, x1], clusters=[np.zeros(50)] * 2)
+    x2 = _sparse_logcounts(rng, 40, 19)
+    with np.testing.assert_raises(ValueError):
+        cluster_mnn_csr(
+            [CSRCells.from_dense(x1), CSRCells.from_dense(x2)],
+            clusters=[np.zeros(50), np.zeros(40)],
+        )
