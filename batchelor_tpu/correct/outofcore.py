@@ -166,17 +166,18 @@ def quick_correct_csr(
             decs.append(GeneVarResult(mean=mean, total=var, tech=tech,
                                       bio=var - tech))
 
-    with trace_span("quickcsr/rescale_hvg"):
-        rescaled = rescale_size_factors(
-            [jnp.asarray(a) for a in avgs], [jnp.asarray(s) for s in sfs],
-            min_mean=min_mean,
-        )
+    with trace_span("quickcsr/rescale"):
+        # host arrays in, host arrays out — no device round trips in this
+        # O(G) host-side stage (each eager fetch/convert over a tunneled
+        # TPU costs seconds; measured 115 s for 16 batches before this)
+        rescaled = rescale_size_factors(avgs, sfs, min_mean=min_mean)
         rescaled = [np.asarray(r, np.float32) for r in rescaled]
 
-        # HVG stats must reflect the *rescaled* normalization; the mean
-        # shifts by a per-batch constant under sf scaling only
-        # approximately, so we recompute moments when any rescaling factor
-        # differs materially.
+    # HVG stats must reflect the *rescaled* normalization; the mean
+    # shifts by a per-batch constant under sf scaling only
+    # approximately, so we recompute moments when any rescaling factor
+    # differs materially.
+    with trace_span("quickcsr/restats"):
         decs2: List[GeneVarResult] = []
         for store, sf0, sf1, dec in zip(stores, sfs, rescaled, decs):
             if np.allclose(sf0, sf1, rtol=1e-6):
@@ -187,6 +188,7 @@ def quick_correct_csr(
             tech = trend(mean)
             decs2.append(GeneVarResult(mean=mean, total=var, tech=tech,
                                        bio=var - tech))
+    with trace_span("quickcsr/hvg"):
         dec = combine_var(decs2)
         hvgs = get_top_hvgs(dec, n=hvg_n)
 
@@ -439,22 +441,41 @@ def regress_batches_csr(
     )
 
 
+def _densify_on_device(store: CSRCells, block_rows: int = 16384):
+    """(N, G) dense DEVICE array built from streamed sparse blocks: the
+    host never materializes a dense matrix (peak host memory stays
+    O(nnz + block)), and the link carries 8 bytes/nnz instead of
+    4*N*G (io.csr.device_dense_blocks; bit-identical to a host densify)."""
+    from ..io.csr import auto_blocks
+
+    blocks = [
+        jnp.asarray(block)[:n_valid]
+        for block, n_valid in auto_blocks(store, block_rows=block_rows)
+    ]
+    return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
+
+
 def mnn_correct_csr(
     stores: Sequence[CSRCells],
     *,
     subset_row: Optional[np.ndarray] = None,
     correct_all: bool = False,
+    block_rows: int = 16384,
     **kwargs,
 ) -> MNNResult:
     """Classic mnnCorrect over CSR stores.
 
     Gene subsetting happens sparse-side (CSRCells.select_genes through the
-    native runtime); only the selected working set densifies — exactly the
-    reference's own behavior, which coerces to dense inside the merge loop
-    for the NN search and the per-gene output (R/mnnCorrect.R:282-284).
-    With ``correct_all`` the full gene set is the working set; at
-    atlas scale prefer subsetting to HVGs (the vignette's own guidance —
-    classic mode runs on ~100 HVGs, vignettes/correction.Rmd:193-197).
+    native runtime) and the working set densifies directly ON DEVICE from
+    streamed sparse blocks (_densify_on_device) — peak host memory is
+    O(nnz + block); the dense working set exists only in device HBM, where
+    the merge loop needs it anyway. This mirrors the reference, which keeps
+    prep sparse (DelayedArray cosineNorm, R/cosineNorm.R:59-61) and coerces
+    to dense inside the merge loop for the NN search and the per-gene
+    output (R/mnnCorrect.R:282-284). With ``correct_all`` the full gene
+    set is the working set; at atlas scale prefer subsetting to HVGs (the
+    vignette's own guidance — classic mode runs on ~100 HVGs,
+    vignettes/correction.Rmd:193-197).
     """
     from .classic_mnn import mnn_correct
 
@@ -464,7 +485,7 @@ def mnn_correct_csr(
     else:
         ins = list(stores)
         sub = subset_row
-    dense = [jnp.asarray(s.to_dense()) for s in ins]
+    dense = [_densify_on_device(s, block_rows) for s in ins]
     return mnn_correct(
         dense, subset_row=sub, correct_all=correct_all, **kwargs
     )

@@ -99,10 +99,19 @@ def rescale_size_factors(
 
     smallest = int(np.argmin(ratios.min(axis=0)))
     rescaling = ratios[:, smallest]
-    return [
-        jnp.asarray(sf) / jnp.asarray(rescaling[i], jnp.asarray(sf).dtype)
-        for i, sf in enumerate(size_factors)
-    ]
+    # stay in the caller's domain: host inputs get host outputs (the CSR
+    # pipeline is host-side here — a device round trip per batch costs
+    # seconds of eager-compile/dispatch over a tunneled TPU), device
+    # inputs stay on device.
+    out = []
+    for i, sf in enumerate(size_factors):
+        if isinstance(sf, np.ndarray):
+            out.append((sf / rescaling[i]).astype(sf.dtype, copy=False))
+        else:
+            out.append(
+                jnp.asarray(sf) / jnp.asarray(rescaling[i], jnp.asarray(sf).dtype)
+            )
+    return out
 
 
 @dataclass

@@ -31,7 +31,8 @@ import numpy as np
 
 from ..utils.trees import tree_weights
 
-__all__ = ["multi_batch_pca", "construct_weight_vector", "MultiBatchPCAResult"]
+__all__ = ["multi_batch_pca", "construct_weight_vector", "MultiBatchPCAResult",
+           "full_eigh"]
 
 
 def construct_weight_vector(
@@ -106,47 +107,83 @@ def _randomized_psd_eigh(gram: jnp.ndarray, d: int, iters: int = 8, oversample: 
     return w, v
 
 
-@functools.partial(jax.jit, static_argnames=("d", "method"))
+def full_eigh(gram):
+    """Full symmetric eigendecomposition of a (small) Gram matrix.
+
+    On TPU backends jnp.linalg.eigh compiles pathologically — measured
+    499 s to compile at 1000x1000 over the axon tunnel (warm run 0.5 s),
+    and every distinct shape pays it again — while the solve itself is
+    host-sized (G <= a few thousand). So on TPU the Gram is pulled to the
+    host and solved by LAPACK in fp64 (numerically stronger than the fp32
+    device eigh); CPU/GPU backends keep jnp.linalg.eigh. Returns
+    (evals, evecs) ascending, as device arrays in the Gram's dtype.
+    """
+    gram = jnp.asarray(gram)
+    if jax.default_backend() == "tpu":
+        w, v = np.linalg.eigh(np.asarray(gram, dtype=np.float64))
+        return jnp.asarray(w, dtype=gram.dtype), jnp.asarray(v, dtype=gram.dtype)
+    return jnp.linalg.eigh(gram)
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _svd_direct(scaled: jnp.ndarray, d: int):
+    u, s, vt = jnp.linalg.svd(scaled, full_matrices=False)
+    return vt[:d].T, s[:d], u[:, :d]
+
+
+@functools.partial(jax.jit, static_argnames=("d", "transpose"))
+def _svd_randomized(scaled: jnp.ndarray, d: int, transpose: bool):
+    if transpose:
+        gram = scaled.T @ scaled
+        evals, v = _randomized_psd_eigh(gram, d)
+        s = jnp.sqrt(jnp.maximum(evals, 0.0))
+        u = (scaled @ v) / jnp.maximum(s, jnp.finfo(scaled.dtype).tiny)[None, :]
+        return v, s, u
+    gram = scaled @ scaled.T
+    evals, u = _randomized_psd_eigh(gram, d)
+    s = jnp.sqrt(jnp.maximum(evals, 0.0))
+    v = (scaled.T @ u) / jnp.maximum(s, jnp.finfo(scaled.dtype).tiny)[None, :]
+    return v, s, u
+
+
+@functools.partial(jax.jit, static_argnames=("transpose",))
+def _gram_of(scaled: jnp.ndarray, transpose: bool):
+    return scaled.T @ scaled if transpose else scaled @ scaled.T
+
+
+@functools.partial(jax.jit, static_argnames=("d", "transpose"))
+def _gram_project(scaled, evals, evecs, d: int, transpose: bool):
+    """Top-d (V, s, U) from an ascending eigh of the smaller-side Gram."""
+    ev = evals[::-1][:d]
+    vec = evecs[:, ::-1][:, :d]
+    s = jnp.sqrt(jnp.maximum(ev, 0.0))
+    safe = jnp.maximum(s, jnp.finfo(scaled.dtype).tiny)[None, :]
+    if transpose:                                     # Gram was (G, G)
+        u = (scaled @ vec) / safe
+        return vec, s, u
+    v = (scaled.T @ vec) / safe                       # Gram was (sumN, sumN)
+    return v, s, vec
+
+
 def _scaled_svd(scaled: jnp.ndarray, d: int, method: str):
     """Top-d right singular vectors of ``scaled`` (sum-N x G).
 
     Returns (V (G, d), singvals (d,), U (sumN, d)). ``method``:
     "gram" uses the exact eigendecomposition of the smaller-side
-    cross-product; "randomized" uses matmul-only subspace iteration on the
+    cross-product (full_eigh: host LAPACK on TPU backends, jnp eigh
+    elsewhere); "randomized" uses matmul-only subspace iteration on the
     Gram (fast on TPU for large G, accurate for d << G); "direct" uses a
     full SVD (most accurate, most FLOPs).
     """
     n, g = scaled.shape
     if method == "direct":
-        u, s, vt = jnp.linalg.svd(scaled, full_matrices=False)
-        return vt[:d].T, s[:d], u[:, :d]
+        return _svd_direct(scaled, d)
     if method == "randomized":
-        if g <= n:
-            gram = scaled.T @ scaled
-            evals, v = _randomized_psd_eigh(gram, d)
-            s = jnp.sqrt(jnp.maximum(evals, 0.0))
-            u = (scaled @ v) / jnp.maximum(s, jnp.finfo(scaled.dtype).tiny)[None, :]
-            return v, s, u
-        gram = scaled @ scaled.T
-        evals, u = _randomized_psd_eigh(gram, d)
-        s = jnp.sqrt(jnp.maximum(evals, 0.0))
-        v = (scaled.T @ u) / jnp.maximum(s, jnp.finfo(scaled.dtype).tiny)[None, :]
-        return v, s, u
-    if g <= n:
-        gram = scaled.T @ scaled                      # (G, G)
-        evals, evecs = jnp.linalg.eigh(gram)
-        evals = evals[::-1][:d]
-        v = evecs[:, ::-1][:, :d]
-        s = jnp.sqrt(jnp.maximum(evals, 0.0))
-        u = (scaled @ v) / jnp.maximum(s, jnp.finfo(scaled.dtype).tiny)[None, :]
-        return v, s, u
-    gram = scaled @ scaled.T                          # (sumN, sumN)
-    evals, evecs = jnp.linalg.eigh(gram)
-    evals = evals[::-1][:d]
-    u = evecs[:, ::-1][:, :d]
-    s = jnp.sqrt(jnp.maximum(evals, 0.0))
-    v = (scaled.T @ u) / jnp.maximum(s, jnp.finfo(scaled.dtype).tiny)[None, :]
-    return v, s, u
+        return _svd_randomized(scaled, d, g <= n)
+    transpose = g <= n
+    gram = _gram_of(scaled, transpose)
+    evals, evecs = full_eigh(gram)
+    return _gram_project(scaled, evals, evecs, d, transpose)
 
 
 def _center_and_scale(

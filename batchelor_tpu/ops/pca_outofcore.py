@@ -21,7 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.csr import CSRCells, auto_blocks, dense_blocks, device_dense_blocks
-from .pca import MultiBatchPCAResult, _randomized_psd_eigh, construct_weight_vector
+from .pca import (
+    MultiBatchPCAResult,
+    _randomized_psd_eigh,
+    construct_weight_vector,
+    full_eigh,
+)
 
 __all__ = ["multi_batch_pca_csr"]
 
@@ -128,7 +133,7 @@ def multi_batch_pca_csr(
     if eig_method == "randomized" or (eig_method == "auto" and g > 1024):
         evals, v = _randomized_psd_eigh(gram, int(min(d, g)))
     else:
-        ev, evec = jnp.linalg.eigh(gram)
+        ev, evec = full_eigh(gram)
         evals = ev[::-1][: int(min(d, g))]
         v = evec[:, ::-1][:, : int(min(d, g))]
 

@@ -16,27 +16,39 @@ import numpy as np
 __all__ = ["get_bio_span", "subtract_bio"]
 
 
-@functools.partial(jax.jit, static_argnames=("ndim",))
+@functools.partial(jax.jit, static_argnames=("transpose",))
+def _centered_gram(x: jnp.ndarray, transpose: bool):
+    centered = x - jnp.mean(x, axis=0, keepdims=True)
+    gram = centered.T @ centered if transpose else centered @ centered.T
+    return centered, gram
+
+
+@functools.partial(jax.jit, static_argnames=("ndim", "transpose"))
+def _span_project(centered, evals, evecs, ndim: int, transpose: bool):
+    tiny = jnp.finfo(centered.dtype).tiny
+    s = jnp.sqrt(jnp.maximum(evals[::-1][:ndim], 0.0))
+    vec = evecs[:, ::-1][:, :ndim]
+    if transpose:
+        u = (centered @ vec) / jnp.maximum(s, tiny)[None, :]
+        return vec, s, u
+    v = (centered.T @ vec) / jnp.maximum(s, tiny)[None, :]
+    return v, s, vec
+
+
 def _span(x: jnp.ndarray, ndim: int):
     """Top-ndim (V, s, U) of the column-centred matrix via the smaller-side
     cross-product eigh (jnp.linalg.svd compiles pathologically slowly on
-    TPU; an exact eigh of the small Gram is equivalent)."""
-    centered = x - jnp.mean(x, axis=0, keepdims=True)
-    n, g = centered.shape
-    tiny = jnp.finfo(x.dtype).tiny
-    if n <= g:
-        k = centered @ centered.T
-        evals, evecs = jnp.linalg.eigh(k)
-        s = jnp.sqrt(jnp.maximum(evals[::-1][:ndim], 0.0))
-        u = evecs[:, ::-1][:, :ndim]
-        v = (centered.T @ u) / jnp.maximum(s, tiny)[None, :]
-        return v, s, u
-    c = centered.T @ centered
-    evals, evecs = jnp.linalg.eigh(c)
-    s = jnp.sqrt(jnp.maximum(evals[::-1][:ndim], 0.0))
-    v = evecs[:, ::-1][:, :ndim]
-    u = (centered @ v) / jnp.maximum(s, tiny)[None, :]
-    return v, s, u
+    TPU; an exact eigh of the small Gram is equivalent). The eigh itself
+    goes through ops.pca.full_eigh — host LAPACK on TPU backends, where
+    the device eigh costs minutes of compile PER SHAPE and bio-span shapes
+    vary every merge step."""
+    from .pca import full_eigh
+
+    n, g = x.shape
+    transpose = n > g
+    centered, gram = _centered_gram(x, transpose)
+    evals, evecs = full_eigh(gram)
+    return _span_project(centered, evals, evecs, ndim, transpose)
 
 
 def get_bio_span(
