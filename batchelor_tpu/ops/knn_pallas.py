@@ -346,7 +346,14 @@ def _rescore_chunks(query, data3, dn2, top_sub, k: int):
     return idx, sq
 
 
-MT_BUDGET = 4 << 30  # max bytes for one pass-1 sub-chunk-max buffer
+import os as _os
+
+# max bytes for one pass-1 sub-chunk-max buffer. 2 GB (not 4): at 10M-pad
+# merge steps the step program already holds ~8-10 GB of long-lived data
+# (shards, corrected outputs, chunk views, top_sub), and a 4 GB m_t piece
+# tipped the v5e's 16 GB over (observed RESOURCE_EXHAUSTED in the config-5
+# run). Override via BT_KNN_MT_BUDGET (bytes) for other HBM sizes.
+MT_BUDGET = int(_os.environ.get("BT_KNN_MT_BUDGET", 2 << 30))
 
 
 def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False,

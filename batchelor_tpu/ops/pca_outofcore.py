@@ -137,14 +137,17 @@ def multi_batch_pca_csr(
         evals = ev[::-1][: int(min(d, g))]
         v = evec[:, ::-1][:, : int(min(d, g))]
 
-    # pass 2: project each block of the (unscaled) centered batches
-    components: List[jnp.ndarray] = []
+    # pass 2: project each block of the (unscaled) centered batches.
+    # Components stay HOST-side numpy: at atlas scale they are the largest
+    # long-lived arrays (10M x 50 = 2 GB) and holding device copies here
+    # starves the merge engine's HBM; consumers upload (sharded) when used.
+    components: List[np.ndarray] = []
     for csr in batches:
         outs = []
         for block, n_valid in blocks(csr, block_rows=block_rows):
             proj = (put(block) - centers[None, :]) @ v
             outs.append(np.asarray(proj[:n_valid]))
-        components.append(jnp.asarray(np.concatenate(outs, axis=0)))
+        components.append(np.concatenate(outs, axis=0))
 
     return MultiBatchPCAResult(
         components=components,

@@ -29,6 +29,76 @@ __all__ = ["adjust_shift_variance"]
 
 _CHUNK = 1024  # query cells per block (memory ~ chunk x (N1 + N2))
 
+# Above this many reference cells the weighted-quantile search switches
+# from the per-chunk (C, N1) lax.sort to the radix bit-descent below: the
+# sort is the scaling bound past ~150k cells (NOTES), while the descent is
+# K=24 cheap masked row-reductions (HBM-bound, no sort network).
+_RADIX_MIN_N1 = 16384
+_RADIX_BITS = 24  # quantization resolution (2^-24 of the per-row range)
+
+
+def _ref_quantile_radix(proj, w, valid, target, bits: int = _RADIX_BITS):
+    """Weighted-quantile crossing value per row by bitwise radix descent.
+
+    For each row c, returns (approximately) the smallest projection p among
+    valid cells with  sum_{proj[c,k] <= p} w[c,k] >= target[c]  — the value
+    the sorted-cumsum path reads at the first crossing (reference
+    src/adjust_shift_variance.cpp:120-141). Projections are quantized to
+    ``bits`` bits of the per-row [min, max] range and the quantile bin is
+    found by descending one bit at a time: at each bit, one masked row
+    reduction computes the weight in the left half of the current prefix.
+    Cost: ``bits`` passes of compare+multiply+row-sum over (C, N1) — no
+    sort. Deviations vs the sort path: the crossing cell is resolved at
+    2^-bits of the row range (distinct values closer than that may pick
+    the smaller), and partial-sum rounding differs from the sorted cumsum
+    at exact-boundary targets. Both are below fp32 noise for the classic
+    pipeline's O(1)-scale cosine data; the exact sort path remains in use
+    below _RADIX_MIN_N1.
+
+    ``w`` must already be 0 at invalid cells. No-crossing rows (target
+    beyond the total weight) fall back to the max valid projection, like
+    the sort path's last_valid.
+    """
+    acc = proj.dtype
+    neg_inf = jnp.asarray(-jnp.inf, acc)
+    pos_inf = jnp.asarray(jnp.inf, acc)
+    lo = jnp.min(jnp.where(valid, proj, pos_inf), axis=1)     # (C,)
+    hi = jnp.max(jnp.where(valid, proj, neg_inf), axis=1)
+    span = jnp.maximum(hi - lo, jnp.finfo(acc).tiny)
+    nbins = jnp.asarray(2.0**bits, acc)
+    idx = jnp.clip(
+        jnp.floor((proj - lo[:, None]) / span[:, None] * nbins),
+        0.0, nbins - 1.0,
+    ).astype(jnp.int32)                                        # (C, N1)
+
+    def bit_step(carry, k):
+        pref, c0 = carry                                       # (C,) each
+        # weight in the left half of the current prefix at bit k
+        match_left = (idx >> k) == (pref << 1)[:, None]
+        s_left = jnp.sum(jnp.where(match_left, w, 0.0), axis=1)
+        go_left = c0 + s_left >= target
+        pref = (pref << 1) | jnp.where(go_left, 0, 1)
+        c0 = jnp.where(go_left, c0, c0 + s_left)
+        return (pref, c0), None
+
+    zero = jnp.zeros(proj.shape[0], jnp.int32)
+    (bin_id, _), _ = jax.lax.scan(
+        bit_step,
+        (zero, jnp.zeros(proj.shape[0], acc)),
+        jnp.arange(bits - 1, -1, -1),
+    )
+
+    in_bin = valid & (idx == bin_id[:, None])
+    q = jnp.min(jnp.where(in_bin, proj, pos_inf), axis=1)
+    # fp safety nets: empty bin -> smallest value at/above the bin floor;
+    # no crossing at all -> max valid projection (sort path's last_valid)
+    bin_lo = lo + bin_id.astype(acc) / nbins * span
+    above = valid & (proj >= bin_lo[:, None])
+    q_above = jnp.min(jnp.where(above, proj, pos_inf), axis=1)
+    q = jnp.where(jnp.isfinite(q), q, q_above)
+    crossed = jnp.sum(w, axis=1) >= target
+    return jnp.where(crossed & jnp.isfinite(q), q, hi)
+
 
 @jax.jit
 def _adjust(
@@ -108,6 +178,12 @@ def _adjust(
         w1 = jnp.exp(lw1 - m1)                         # shared exp(-m1) scale
         target = prob2 * jnp.sum(w1, axis=1)
 
+        if n1 >= _RADIX_MIN_N1:
+            # large-N1 regime: radix bit-descent replaces the (C, N1)
+            # sort (the scaling bound past ~150k cells)
+            valid1 = jnp.broadcast_to(mask1[None, :], P1.shape)
+            ref_quan = _ref_quantile_radix(P1, w1, valid1, target)
+            return (ref_quan - curproj) / l2ch
         proj_sort_key = jnp.where(mask1[None, :], P1, jnp.inf)
         # one multi-operand sort instead of argsort + two gathers (the
         # gathers cost more than the sort itself at N1 ~ 10^5)

@@ -558,8 +558,16 @@ def distributed_fast_mnn(
         raise ValueError("at least two batches must be specified")
     if restrict is None:
         restrict = [None] * nb
-    nodes = [_make_dev_batch(mesh, b, i, restrict[i]) for i, b in enumerate(batches)]
     d = int(batches[0].shape[1])
+    # consume the input list: each source array is dropped right after its
+    # padded sharded copy exists, so a caller passing a throwaway list
+    # (quick_correct_csr) doesn't hold a second full-atlas copy in HBM
+    batches = list(batches)
+    nodes = []
+    for i in range(nb):
+        b, batches[i] = batches[i], None
+        nodes.append(_make_dev_batch(mesh, b, i, restrict[i]))
+        del b
     dt = nodes[0].data.dtype
     emax = nb - 1
 
@@ -676,6 +684,11 @@ def distributed_fast_mnn(
         if collect_pairs:
             with trace_span("driver/pairs", step=mdx):
                 pairs = _collect_pairs_dev(mesh, mutual, l2r, left.n, right.n)
+        # free step HBM before the concat/re-pad allocates the merged node
+        # (mutual+l2r are ~1 GB at 10M-pad steps; the source node data is
+        # not read by _concat_dev — it slices the corrected lc/rc)
+        del mutual, l2r
+        left.data = right.data = None
 
         # lost.var per input batch (reference R/fastMNN.R:500-501): only
         # batches on the merged sides change; others keep ratio 1.

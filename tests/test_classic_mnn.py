@@ -156,3 +156,66 @@ def test_mnn_correct_three_batches_merge_order(rng):
         [phys[starts[2] :], phys[starts[1] : starts[2]], phys[: starts[1]]]
     )
     assert np.allclose(np.asarray(out_order.corrected), reordered, atol=1e-8)
+
+
+def test_radix_quantile_matches_sorted_cumsum(rng):
+    """The radix bit-descent weighted quantile (large-N1 path of
+    adjust_shift_variance) matches the sorted-cumsum rule."""
+    import jax
+    from batchelor_tpu.ops import shift_variance as sv
+
+    C, N = 16, 3000
+    proj = jnp.asarray(rng.normal(size=(C, N)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 1, size=(C, N)).astype(np.float32))
+    valid = rng.uniform(size=(C, N)) < 0.9
+    w = jnp.where(jnp.asarray(valid), w, 0.0)
+    frac = rng.uniform(0.05, 0.95, size=C).astype(np.float32)
+    target = jnp.asarray(frac) * jnp.sum(w, axis=1)
+    q = np.asarray(sv._ref_quantile_radix(proj, w, jnp.asarray(valid), target))
+
+    P, W = np.asarray(proj), np.asarray(w)
+    for c in range(C):
+        key = np.where(valid[c], P[c], np.inf)
+        order = np.argsort(key, kind="stable")
+        cum = np.cumsum(W[c][order])
+        pos = np.searchsorted(cum, float(target[c]) - 1e-12)
+        expected = key[order][min(pos, N - 1)]
+        # resolution: 2^-24 of the row range
+        span = P[c][valid[c]].max() - P[c][valid[c]].min()
+        assert abs(q[c] - expected) <= span * 2**-20, (c, q[c], expected)
+
+    # exact ties: duplicated values must return the tied value exactly
+    vals = np.repeat(rng.normal(size=50), 60).astype(np.float32)[None, :]
+    proj_t = jnp.asarray(np.tile(vals, (4, 1)))
+    w_t = jnp.ones((4, 3000), jnp.float32)
+    tt = jnp.asarray(np.array([100.0, 1500.0, 2999.0, 3000.0], np.float32))
+    qt = np.asarray(sv._ref_quantile_radix(
+        proj_t, w_t, jnp.ones((4, 3000), bool), tt))
+    svals = np.sort(vals[0])
+    for i, t in enumerate([100, 1500, 2999, 3000]):
+        assert qt[i] == svals[t - 1]
+
+    # no crossing -> max valid projection
+    qn = np.asarray(sv._ref_quantile_radix(
+        proj, w, jnp.asarray(valid), jnp.sum(w, axis=1) * 2.0))
+    expect_hi = np.max(np.where(valid, P, -np.inf), axis=1)
+    assert np.allclose(qn, expect_hi)
+
+
+def test_adjust_shift_variance_radix_path_matches_sort(rng, monkeypatch):
+    """End-to-end: the radix path produces the same scalings as the sort
+    path on the same inputs (threshold forced down)."""
+    from batchelor_tpu.ops import shift_variance as sv
+
+    d1 = rng.normal(size=(500, 10)).astype(np.float32)
+    d2 = (rng.normal(size=(400, 10)) + 0.5).astype(np.float32)
+    corr = rng.normal(size=(400, 10)).astype(np.float32)
+    ref = np.asarray(sv.adjust_shift_variance(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(corr), 0.5))
+    monkeypatch.setattr(sv, "_RADIX_MIN_N1", 1)
+    sv._adjust._clear_cache()
+    out = np.asarray(sv.adjust_shift_variance(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(corr), 0.5))
+    monkeypatch.undo()
+    sv._adjust._clear_cache()
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
