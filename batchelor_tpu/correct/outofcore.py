@@ -114,6 +114,7 @@ def quick_correct_csr(
     memory: str = "gather",
     pad_buckets: bool = False,
     checkpoint_dir: Optional[str] = None,
+    progress: bool = False,
 ) -> QuickCorrectResult:
     """quickCorrect over out-of-core CSR stores (counts, cells in rows).
 
@@ -216,7 +217,7 @@ def quick_correct_csr(
                 min_batch_skip=(0.0 if min_batch_skip is None else min_batch_skip),
                 knn_method=("exact" if knn_method == "auto" else knn_method),
                 memory=memory, pad_buckets=pad_buckets,
-                checkpoint_dir=checkpoint_dir,
+                checkpoint_dir=checkpoint_dir, progress=progress,
             )
         if batch_names is not None:
             names = np.asarray(list(batch_names))

@@ -376,15 +376,22 @@ def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False,
         m_t = _prep_pass1(query, data, data_valid, interpret, bf16, six_pass)
         top_sub = _select_subchunks(m_t, k, interpret)[:nq]
     else:
+        # scan over equal-size query pieces: one m_t buffer is live at a
+        # time AND the trace holds ONE piece body — a Python loop here
+        # unrolls hundreds of pallas calls at 10M-scale steps and blows
+        # the compile (the round-3 "never unroll device loops" lesson)
         qchunk = QT * (-(-(-(-nq // npieces)) // QT))
-        tops = []
-        for lo in range(0, nq, qchunk):
-            qs = query[lo:lo + qchunk]
-            if qs.shape[0] < qchunk:          # one compiled shape per size
-                qs = jnp.pad(qs, ((0, qchunk - qs.shape[0]), (0, 0)))
+        npieces = -(-nq // qchunk)
+        qs_stack = jnp.pad(
+            query, ((0, npieces * qchunk - nq), (0, 0))
+        ).reshape(npieces, qchunk, query.shape[1])
+
+        def piece(carry, qs):
             m_t = _prep_pass1(qs, data, data_valid, interpret, bf16, six_pass)
-            tops.append(_select_subchunks(m_t, k, interpret)[:qchunk])
-        top_sub = jnp.concatenate(tops, axis=0)[:nq]
+            return carry, _select_subchunks(m_t, k, interpret)
+
+        _, tops = jax.lax.scan(piece, 0, qs_stack)
+        top_sub = tops.reshape(npieces * qchunk, -1)[:nq]
     data3, dn2 = _chunked_view(data, data_valid)
     return _rescore_chunks(query, data3, dn2, top_sub, k)
 

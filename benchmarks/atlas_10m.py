@@ -122,6 +122,16 @@ def main():
 
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
+    # balanced merge tree: the multi-host-shaped plan. Peak per-step HBM
+    # halves vs the sequential default (final step is N/2 x N/2 instead of
+    # (N-b) x b) and each tree level shares one compiled step shape
+    # (4 compiles for 16 batches instead of one per distinct left size).
+    def balanced(lo, hi):
+        if hi - lo == 1:
+            return lo
+        mid = (lo + hi) // 2
+        return [balanced(lo, mid), balanced(mid, hi)]
+
     rec = MetricsRecorder()
     set_recorder(rec)
     t0 = time.perf_counter()
@@ -131,8 +141,10 @@ def main():
         knn_method=method,
         mesh=make_cells_mesh(1),
         pad_buckets=True,
+        merge_order=balanced(0, nb),
         checkpoint_dir=ckpt_dir,
         block_rows=65536,
+        progress=True,
         # ~5% density counts: per-gene grand averages sit around 0.15, so
         # the min.mean=1 default (tuned for dense log-counts) would filter
         # every gene out of the median-ratio step.

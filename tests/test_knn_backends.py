@@ -134,3 +134,18 @@ def test_chunked_exact_selection_six_pass(rng):
     assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
     assert np.allclose(np.asarray(ref.distances), np.asarray(out.distances),
                        atol=1e-5)
+
+
+def test_chunked_query_piecing_scan(rng, monkeypatch):
+    """The MT_BUDGET query-piecing path (lax.scan over equal pieces) is
+    exact vs the single-piece path."""
+    from batchelor_tpu.ops import knn_pallas as kp
+
+    q = rng.normal(size=(1200, 8)).astype(np.float32)
+    x = rng.normal(size=(2600, 8)).astype(np.float32)
+    ref = query_knn(jnp.asarray(q), jnp.asarray(x), 5, method="chunked")
+    # force ~3 pieces
+    monkeypatch.setattr(kp, "MT_BUDGET", 4 * (2600 // 32 + 32) * 512)
+    out = query_knn(jnp.asarray(q), jnp.asarray(x), 5, method="chunked")
+    assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
+    assert np.allclose(np.asarray(ref.distances), np.asarray(out.distances))
