@@ -133,30 +133,17 @@ def _weighted_gram(xs_shards, masks, weights, counts, centers):
     return _psum(gram)
 
 
-def _pca_local(xs_shards, masks, left_shards, weights, d: int,
-               get_variance: bool, nb: int):
-    """Per-device body: weighted grand-mean centering, Gram psum, eigh,
-    plus (optionally) the leftover-gene rotation rows via a cross-Gram
-    (the distributed form of R/multiBatchPCA.R:396-414: with
-    u = scaled @ v / s, leftover_u = left_scaled^T u / s
-    = (left_scaled^T scaled) v / s^2) and variance metadata
-    (R/multiBatchPCA.R:422-432)."""
+def _gram_local(xs_shards, masks, left_shards, weights, get_variance: bool):
+    """Per-device body, phase 1: weighted grand-mean centering + Gram psum
+    (plus the optional leftover cross-Gram and total-variance scalar). The
+    eigendecomposition does NOT happen here — it runs between the two
+    shard_maps through ops.pca.full_eigh, which solves the host-sized
+    G x G problem on the host on TPU backends (a device eigh inside the
+    SPMD program costs minutes of compile per shape; NOTES round-4)."""
     dt = xs_shards[0].dtype
     centers, counts = _weighted_stats(xs_shards, masks, weights)
     gram = _weighted_gram(xs_shards, masks, weights, counts, centers)
-
-    evals, evecs = jnp.linalg.eigh(gram)
-    v = evecs[:, ::-1][:, :d]
-    ev = jnp.maximum(evals[::-1][:d], 0.0)
-    s = jnp.sqrt(ev)
-
-    comps = [
-        jnp.where(m[:, None], x - centers[None, :], 0.0) @ v
-        for x, m in zip(xs_shards, masks)
-    ]
-
-    outs = [*comps, v, s, centers]
-
+    outs = [centers, gram]
     if left_shards is not None:
         left_centers, _ = _weighted_stats(left_shards, masks, weights)
         gl = left_shards[0].shape[1]
@@ -165,22 +152,40 @@ def _pca_local(xs_shards, masks, left_shards, weights, d: int,
             lc = jnp.where(m[:, None], lx - left_centers[None, :], 0.0)
             xc = jnp.where(m[:, None], x - centers[None, :], 0.0)
             cross = cross + (lc.T @ xc) * (w / c)
-        cross = _psum(cross)
-        safe = jnp.maximum(ev, jnp.finfo(dt).tiny)
-        leftover_u = (cross @ v) / safe[None, :]
-        outs += [leftover_u, left_centers]
-
+        outs += [_psum(cross), left_centers]
     if get_variance:
-        # var_explained = s^2 / nbatches; var_total = ||scaled||^2 / nbatches
-        # (reference R/multiBatchPCA.R:422-432, VERDICT-verified d^2/nbatches)
         total = jnp.zeros((), dt)
         for x, m, w, c in zip(xs_shards, masks, weights, counts):
             xc = jnp.where(m[:, None], x - centers[None, :], 0.0)
             total = total + jnp.sum(jnp.square(xc)) * (w / c)
-        total = _psum(total)
-        outs += [ev / nb, total / nb]
-
+        outs += [_psum(total)]
     return tuple(outs)
+
+
+def _project_local(xs_shards, masks, v, centers):
+    """Per-device body, phase 2: project the (unscaled) centered shards
+    onto the replicated rotation (the distributed form of
+    R/multiBatchPCA.R:236-239)."""
+    return tuple(
+        jnp.where(m[:, None], x - centers[None, :], 0.0) @ v
+        for x, m in zip(xs_shards, masks)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _eigh_post(evals, evecs, d: int):
+    """(v, s, ev) from an ascending eigh."""
+    ev = jnp.maximum(evals[::-1][:d], 0.0)
+    v = evecs[:, ::-1][:, :d]
+    return v, jnp.sqrt(ev), ev
+
+
+@jax.jit
+def _leftover_rows(cross, v, ev):
+    """leftover_u = (cross @ v) / ev  (u = scaled v / s; leftover_u =
+    left_scaled^T u / s = cross v / s^2; R/multiBatchPCA.R:396-414)."""
+    safe = jnp.maximum(ev, jnp.finfo(cross.dtype).tiny)
+    return (cross @ v.astype(cross.dtype)) / safe[None, :]
 
 
 def _passthrough_local(xs_shards, masks, weights, get_variance: bool):
@@ -314,29 +319,56 @@ def distributed_multi_batch_pca(
         [P(CELLS_AXIS, None)] * nb + [P(CELLS_AXIS)] * nb
         + [P(CELLS_AXIS, None)] * nl
     )
-    extra = ([P(), P()] if lpadded is not None else []) + (
-        [P(), P()] if get_variance else []
+    gram_out = [P(), P()] + ([P(), P()] if nl else []) + (
+        [P()] if get_variance else []
     )
-    out_specs = tuple([P(CELLS_AXIS, None)] * nb + [P(), P(), P()] + extra)
 
-    def body(*args):
+    def gram_body(*args):
         xs = list(args[:nb])
         ms = list(args[nb : 2 * nb])
         ls = list(args[2 * nb :]) if nl else None
-        return _pca_local(xs, ms, ls, weights_f, d_eff, get_variance, nb)
+        return _gram_local(xs, ms, ls, weights_f, get_variance)
 
-    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_vma=False)
     args = [jax.device_put(p, shardng) for p in padded] + list(masks)
     if lpadded is not None:
         args += [jax.device_put(p, shardng) for p in lpadded]
-    out = jax.jit(fn)(*args)
-    comps = [c[:n] for c, n in zip(out[:nb], ns)]
-    v, s, centers = out[nb], out[nb + 1], out[nb + 2]
-    pos = nb + 3
+    out = jax.jit(
+        shard_map(gram_body, mesh=mesh, in_specs=in_specs,
+                  out_specs=tuple(gram_out), check_vma=False)
+    )(*args)
+    centers, gram = out[0], out[1]
+    pos = 2
+    cross = left_centers = None
+    if nl:
+        cross, left_centers = out[2], out[3]
+        pos = 4
+    total = out[pos] if get_variance else None
+
+    # host-sized eigendecomposition between the two SPMD phases
+    from ..ops.pca import full_eigh
+
+    evals, evecs = full_eigh(gram)
+    v, s, ev = _eigh_post(evals, evecs, d_eff)
+
+    def proj_body(*pargs):
+        xs = list(pargs[:nb])
+        ms = list(pargs[nb : 2 * nb])
+        return _project_local(xs, ms, pargs[2 * nb], pargs[2 * nb + 1])
+
+    proj = jax.jit(
+        shard_map(
+            proj_body, mesh=mesh,
+            in_specs=tuple([P(CELLS_AXIS, None)] * nb + [P(CELLS_AXIS)] * nb
+                           + [P(), P()]),
+            out_specs=tuple([P(CELLS_AXIS, None)] * nb),
+            check_vma=False,
+        )
+    )(*([jax.device_put(p, shardng) for p in padded] + list(masks)
+        + [v.astype(padded[0].dtype), centers]))
+    comps = [c[:n] for c, n in zip(proj, ns)]
+
     if lpadded is not None:
-        leftover_u, left_centers = out[pos], out[pos + 1]
-        pos += 2
+        leftover_u = _leftover_rows(cross, v, ev)
         rotation = jnp.zeros((g_all, d_eff), v.dtype)
         rotation = rotation.at[jnp.asarray(subset_row)].set(v)
         rotation = rotation.at[jnp.asarray(leftover_idx)].set(leftover_u)
@@ -351,6 +383,6 @@ def distributed_multi_batch_pca(
         batch_names=batch_names_l,
     )
     if get_variance:
-        res.var_explained = np.asarray(out[pos])
-        res.var_total = float(out[pos + 1])
+        res.var_explained = np.asarray(ev) / nb
+        res.var_total = float(total) / nb
     return res
