@@ -35,21 +35,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 SUB = 32
 DPAD = 64
-ROW = SUB * DPAD   # flattened sub-chunk row (2048 lanes, 128-aligned)
+ROW = SUB * DPAD   # one sub-chunk = an (8, 256) tile-aligned block
+RS, RL = 8, 256    # sublane/lane shape of a flattened sub-chunk
 WINDOW = 16        # in-flight DMA window
 
 
 def _gather_kernel(ids_ref, data_ref, out_ref, sems, *, kc: int, qr: int):
-    """ids_ref: SMEM (qr, kc) int32; data_ref: ANY (C32, ROW);
-    out_ref: ANY (qr*kc, ROW). One DMA per (query, k) with WINDOW
-    outstanding."""
+    """ids_ref: SMEM (qr, kc) int32; data_ref: ANY (C32, RS, RL);
+    out_ref: ANY (qr*kc, RS, RL). One DMA per (query, k) with WINDOW
+    outstanding (Mosaic requires (8, 128k)-aligned slice tails, hence the
+    (8, 256) block shape)."""
     total = qr * kc
 
     def make_copy(i):
         cid = ids_ref[i // kc, i % kc]
         return pltpu.make_async_copy(
-            data_ref.at[pl.ds(cid, 1), :],
-            out_ref.at[pl.ds(i, 1), :],
+            data_ref.at[pl.ds(cid, 1)],
+            out_ref.at[pl.ds(i, 1)],
             sems.at[i % WINDOW],
         )
 
@@ -81,7 +83,7 @@ def dma_gather(ids, data2d, kc: int, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((qr * kc, ROW), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((qr * kc, RS, RL), jnp.float32),
         scratch_shapes=[pltpu.SemaphoreType.DMA((WINDOW,))],
         interpret=interpret,
     )(ids, data2d)
@@ -106,11 +108,11 @@ def main():
         98304 if not interpret else 4096
     )
     kc = 20
-    qtile = 2048 if not interpret else 128
+    qtile = 1024 if not interpret else 128
     rng = np.random.default_rng(0)
     c32 = nd // SUB
     data3 = jnp.asarray(rng.normal(size=(c32, SUB, DPAD)).astype(np.float32))
-    data2d = data3.reshape(c32, ROW)
+    data2d = data3.reshape(c32, RS, RL)
     ids = jnp.asarray(rng.integers(0, c32, size=(nq, kc)).astype(np.int32))
     print(f"backend={jax.default_backend()} nq={nq} nd={nd} kc={kc} "
           f"window={WINDOW} qtile={qtile}", flush=True)
@@ -131,9 +133,13 @@ def main():
     ):
         _ = force(fn(0))  # compile
         t0 = time.perf_counter()
+        live = []
         acc = 0.0
-        for t in range(0, nq, qtile):
-            acc += force(fn(t))
+        for t in range(0, nq, qtile):   # keep 8 tiles in flight (HBM-bounded)
+            live.append(fn(t))
+            if len(live) > 8:
+                acc += force(live.pop(0))
+        acc += sum(force(o) for o in live)
         dt = time.perf_counter() - t0
         bytes_moved = nq * kc * ROW * 4
         print(f"{name} gather: {dt*1e3:.1f} ms  "
