@@ -42,6 +42,8 @@ __all__ = [
     "tricube_weights",
     "perbatch_var",
     "merge_step_body",
+    "merge_step_search",
+    "merge_step_correct",
 ]
 
 
@@ -143,29 +145,26 @@ def _mutual_mask(lshard, rshard, lvalid, rvalid, lres, rres, k1, k2,
     return mutual, l2r, full_right, full_left, full_rvalid
 
 
-def merge_step_body(
+def merge_step_search(
     lshard, rshard, lvalid, rvalid, lres, rres,
     lorigin=None, rorigin=None, lextras=None, rextras=None,
     *,
-    k1: int, k2: int, tricube_k: int, ndist: float, min_batch_skip: float,
-    knn_method: str = "exact", nb: int = 2,
+    k1: int, k2: int, knn_method: str = "exact", nb: int = 2,
     axis: Optional[str] = None, with_var: bool = True,
 ):
-    """One fastMNN merge step (reference .fast_mnn_core body,
-    R/fastMNN.R:448-525): MNN detection, batch-vector estimation,
-    orthogonalization of both sides, recomputed averages, tricube apply.
+    """Phase 1 of a merge step: pre-merge variances, orthogonalization
+    replay, the two kNN searches and the mutual membership test.
 
-    Single-device when ``axis is None`` (the fused path); the per-device
-    body of the gather-mode SPMD step otherwise. ``lextras``/``rextras``:
-    optional padded (E, d) batch-vector tables replayed on the opposite
-    side before the search (zero rows skipped). ``with_var`` adds the
-    pre/post per-batch variance pair feeding lost.var.
+    Split out so the single-chip driver can execute the step as two jits:
+    one program containing the whole step reliably crashes the TPU worker
+    at >= 2M-pad shapes on the axon stack while the same halves run clean
+    as separate programs (NOTES round-4 config-5 status); phase
+    intermediates stay on device either way.
 
-    Returns (left_c, right_out, overall, magnitude, n_pairs, mutual, l2r
-             [, var_old, var_new]).
+    Returns (lshard_replayed, rshard_replayed, mutual, l2r, n_pairs,
+    var_old-or-None).
     """
-    dt = lshard.dtype
-
+    var_old = None
     if with_var:
         # pre-merge per-batch variance, before replay (host-engine order:
         # per_batch_var precedes orthogonalize_other, reference R/fastMNN.R:467)
@@ -173,17 +172,32 @@ def merge_step_body(
             perbatch_var(lshard, lorigin, lvalid, nb, axis)
             + perbatch_var(rshard, rorigin, rvalid, nb, axis)
         )
-
     if lextras is not None:
         rshard = replay_extras(rshard, rres & rvalid, lextras, axis)
     if rextras is not None:
         lshard = replay_extras(lshard, lres & lvalid, rextras, axis)
-
-    mutual, l2r, full_right, _full_left, full_rvalid = _mutual_mask(
+    mutual, l2r, _fr, _fl, _frv = _mutual_mask(
         lshard, rshard, lvalid, rvalid, lres, rres, k1, k2, knn_method, axis
     )
-    n2 = full_right.shape[0]
     n_pairs = pmaybe(jnp.sum(mutual), axis)
+    return lshard, rshard, mutual, l2r, n_pairs, var_old
+
+
+def merge_step_correct(
+    lshard, rshard, lvalid, rvalid, lres, rres, mutual, l2r,
+    lorigin=None, rorigin=None,
+    *,
+    tricube_k: int, ndist: float, min_batch_skip: float,
+    knn_method: str = "exact", nb: int = 2,
+    axis: Optional[str] = None, with_var: bool = True,
+):
+    """Phase 2 of a merge step: segment-averaged correction vectors,
+    batch-vector stats, orthogonalization of both sides, post variances,
+    recomputed averages and the tricube apply. Inputs are phase-1 outputs
+    (replayed shards + mutual mask + l2r)."""
+    full_right = gmaybe(rshard, axis)
+    full_rvalid = gmaybe(rvalid, axis)
+    n2 = full_right.shape[0]
 
     def averaged(l_rows, right_full):
         # sum over pairs of (left_i - right_j) per segment j equals
@@ -196,6 +210,7 @@ def merge_step_body(
         sums = lsums - right_full * counts[:, None]
         return sums / jnp.maximum(counts, 1.0)[:, None], counts > 0
 
+    var_new = None
     avg, involved = averaged(lshard, full_right)
     overall, magnitude = batch_vector_stats(avg, involved)
     do_correct = magnitude >= min_batch_skip
@@ -242,6 +257,45 @@ def merge_step_body(
     )
     right_out = jnp.where(do_correct, rshard_c + correction, rshard_c)
 
+    return lshard_c, right_out, overall, magnitude, var_new
+
+
+def merge_step_body(
+    lshard, rshard, lvalid, rvalid, lres, rres,
+    lorigin=None, rorigin=None, lextras=None, rextras=None,
+    *,
+    k1: int, k2: int, tricube_k: int, ndist: float, min_batch_skip: float,
+    knn_method: str = "exact", nb: int = 2,
+    axis: Optional[str] = None, with_var: bool = True,
+):
+    """One fastMNN merge step (reference .fast_mnn_core body,
+    R/fastMNN.R:448-525): MNN detection, batch-vector estimation,
+    orthogonalization of both sides, recomputed averages, tricube apply —
+    merge_step_search + merge_step_correct composed in one trace (the
+    fused/SPMD paths; the single-chip driver may run the two phases as
+    separate jits instead, same math).
+
+    Single-device when ``axis is None`` (the fused path); the per-device
+    body of the gather-mode SPMD step otherwise. ``lextras``/``rextras``:
+    optional padded (E, d) batch-vector tables replayed on the opposite
+    side before the search (zero rows skipped). ``with_var`` adds the
+    pre/post per-batch variance pair feeding lost.var.
+
+    Returns (left_c, right_out, overall, magnitude, n_pairs, mutual, l2r
+             [, var_old, var_new]).
+    """
+    lshard, rshard, mutual, l2r, n_pairs, var_old = merge_step_search(
+        lshard, rshard, lvalid, rvalid, lres, rres, lorigin, rorigin,
+        lextras, rextras,
+        k1=k1, k2=k2, knn_method=knn_method, nb=nb, axis=axis,
+        with_var=with_var,
+    )
+    lshard_c, right_out, overall, magnitude, var_new = merge_step_correct(
+        lshard, rshard, lvalid, rvalid, lres, rres, mutual, l2r,
+        lorigin, rorigin,
+        tricube_k=tricube_k, ndist=ndist, min_batch_skip=min_batch_skip,
+        knn_method=knn_method, nb=nb, axis=axis, with_var=with_var,
+    )
     out = (lshard_c, right_out, overall, magnitude, n_pairs, mutual, l2r)
     if with_var:
         out = out + (var_old, var_new)

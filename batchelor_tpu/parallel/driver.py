@@ -30,6 +30,8 @@ from ..ops.merge_math import (
     batch_vector_stats,
     center_along,
     merge_step_body,
+    merge_step_correct,
+    merge_step_search,
     perbatch_var,
     pmaybe,
     replay_extras,
@@ -79,9 +81,42 @@ def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
                  min_batch_skip: float, knn_method: str, memory: str, nb: int):
     """One compiled step per (mesh, k, ...) combo: reusing the jitted
     callable lets XLA's jit cache hit across merge steps with equal
-    shapes (a fresh closure per step would never cache)."""
+    shapes (a fresh closure per step would never cache).
+
+    On a 1-device mesh the gather-mode step skips shard_map (axis=None:
+    psum/all_gather are identities) AND executes as TWO jits —
+    merge_step_search then merge_step_correct, intermediates staying on
+    device. One program containing the whole step reliably crashes the
+    axon TPU worker at >= 2M-pad shapes while the same halves run clean
+    as separate programs (NOTES round-4); the split also compiles faster.
+    """
     spec_data = P(CELLS_AXIS, None)
     spec_mask = P(CELLS_AXIS)
+    if memory == "gather" and int(mesh.devices.size) == 1:
+        search = jax.jit(functools.partial(
+            merge_step_search, k1=k1, k2=k2, knn_method=knn_method, nb=nb,
+            axis=None, with_var=True,
+        ))
+        correct = jax.jit(functools.partial(
+            merge_step_correct, tricube_k=tricube_k, ndist=ndist,
+            min_batch_skip=min_batch_skip, knn_method=knn_method, nb=nb,
+            axis=None, with_var=True,
+        ))
+
+        def stepped(ldata, rdata, lvalid, rvalid, lres, rres,
+                    lorig, rorig, lex, rex):
+            ls, rs, mutual, l2r, n_pairs, var_old = search(
+                ldata, rdata, lvalid, rvalid, lres, rres, lorig, rorig,
+                lex, rex,
+            )
+            lc, rc, overall, mag, var_new = correct(
+                ls, rs, lvalid, rvalid, lres, rres, mutual, l2r,
+                lorig, rorig,
+            )
+            return (lc, rc, overall, mag, n_pairs, mutual, l2r,
+                    var_old, var_new)
+
+        return stepped
     if memory == "gather":
         body = functools.partial(
             _step_local,
@@ -227,18 +262,19 @@ def _step_local(
     lshard, rshard, lvalid, rvalid, lres, rres, lorigin, rorigin,
     lextras, rextras,
     k1: int, k2: int, tricube_k: int, ndist: float, min_batch_skip: float,
-    knn_method: str = "exact", nb: int = 2,
+    knn_method: str = "exact", nb: int = 2, axis=CELLS_AXIS,
 ):
     """Per-device body of one merge step: the shared merge_step_body
     (ops/merge_math.py — the same implementation the single-device fused
-    path runs) with the mesh axis threaded through its collectives."""
+    path runs) with the mesh axis threaded through its collectives
+    (``axis=None`` on a 1-device mesh: collectives are identities)."""
     (lshard_c, right_out, overall, magnitude, n_pairs, mutual, l2r,
      var_old, var_new) = merge_step_body(
         lshard, rshard, lvalid, rvalid, lres, rres, lorigin, rorigin,
         lextras, rextras,
         k1=k1, k2=k2, tricube_k=tricube_k, ndist=ndist,
         min_batch_skip=min_batch_skip, knn_method=knn_method, nb=nb,
-        axis=CELLS_AXIS, with_var=True,
+        axis=axis, with_var=True,
     )
     return (lshard_c, right_out, overall, magnitude, n_pairs, mutual, l2r,
             var_old, var_new)

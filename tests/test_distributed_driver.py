@@ -200,3 +200,24 @@ def test_driver_ring_memory_restrict(rng, mesh8):
     )
     for a, b in zip(ring.merge_info, ref.merge_info):
         assert set(map(tuple, a.pairs.tolist())) == set(map(tuple, b.pairs.tolist()))
+
+
+def test_driver_one_device_plain_jit_matches_mesh(rng):
+    """The 1-device gather-mode fast path (plain jit, no shard_map)
+    matches the 8-device mesh run."""
+    from batchelor_tpu.parallel.driver import distributed_fast_mnn
+    from batchelor_tpu.parallel.mesh import make_cells_mesh
+
+    b1 = rng.normal(size=(90, 10)).astype(np.float32)
+    b2 = (rng.normal(size=(70, 10)) + 0.8).astype(np.float32)
+    one = distributed_fast_mnn(
+        [jnp.asarray(b1), jnp.asarray(b2)], make_cells_mesh(1), k=10
+    )
+    eight = distributed_fast_mnn(
+        [jnp.asarray(b1), jnp.asarray(b2)], make_cells_mesh(8), k=10
+    )
+    assert np.allclose(
+        np.asarray(one.corrected), np.asarray(eight.corrected), atol=1e-5
+    )
+    a, b = one.merge_info[0].pairs, eight.merge_info[0].pairs
+    assert set(map(tuple, a.tolist())) == set(map(tuple, b.tolist()))
