@@ -23,6 +23,8 @@ from .ops.correction import (
     center_along_batch_vector,
 )
 from .correct.fast_mnn import fast_mnn, reduced_mnn, MNNResult, MergeStepInfo
+from .parallel.driver import distributed_fast_mnn
+from .parallel.mesh import make_cells_mesh
 from .correct.classic_mnn import mnn_correct
 from .correct.cluster_mnn import cluster_mnn, cluster_mnn_csr, ClusterMNNResult
 from .correct.linear import (

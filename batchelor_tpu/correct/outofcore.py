@@ -114,6 +114,7 @@ def quick_correct_csr(
     memory: str = "gather",
     pad_buckets: bool = False,
     checkpoint_dir: Optional[str] = None,
+    pca_cache_dir: Optional[str] = None,
     progress: bool = False,
 ) -> QuickCorrectResult:
     """quickCorrect over out-of-core CSR stores (counts, cells in rows).
@@ -131,6 +132,13 @@ def quick_correct_csr(
     distributed-merge route for BASELINE configs 4/5 (the reference's
     analog composes DelayedArray blocks with BPPARAM-parallel PCA,
     R/multiBatchPCA.R:217-219).
+
+    ``pca_cache_dir`` persists the PCA stage (components/rotation/centers
+    via io.checkpoint.save_pca_stage) and reuses it on re-runs — the
+    multiBatchPCA -> reducedMNN restart split the reference documents as
+    "the most time-consuming step" (R/reducedMNN.R:24-27). A cache hit
+    skips stages that feed only the PCA; var_explained metadata is not
+    cached (None on resumed runs).
     """
     if len(stores) < 2:
         raise ValueError("at least two batches must be specified")
@@ -202,10 +210,32 @@ def quick_correct_csr(
 
     # stage 5: streamed Gram PCA + MNN on coordinates
     with trace_span("quickcsr/pca"):
-        pca = multi_batch_pca_csr(
-            transformed, d=d, weights=weights, block_rows=block_rows,
-            batch_names=batch_names, mesh=mesh,
-        )
+        pca = None
+        if pca_cache_dir is not None:
+            from ..io.checkpoint import load_pca_stage
+            from ..ops.pca import MultiBatchPCAResult
+
+            cached = load_pca_stage(pca_cache_dir)
+            if cached is not None:
+                comps, rot, cen, _ = cached
+                pca = MultiBatchPCAResult(
+                    components=comps, rotation=rot, centers=cen,
+                    batch_names=(
+                        list(batch_names) if batch_names is not None else None
+                    ),
+                )
+        if pca is None:
+            pca = multi_batch_pca_csr(
+                transformed, d=d, weights=weights, block_rows=block_rows,
+                batch_names=batch_names, mesh=mesh,
+            )
+            if pca_cache_dir is not None:
+                from ..io.checkpoint import save_pca_stage
+
+                save_pca_stage(
+                    pca_cache_dir, pca.components, pca.rotation, pca.centers,
+                    list(batch_names) if batch_names is not None else None,
+                )
     if mesh is not None:
         from ..parallel.driver import distributed_fast_mnn
 
@@ -467,26 +497,35 @@ def mnn_correct_csr(
     """Classic mnnCorrect over CSR stores.
 
     Gene subsetting happens sparse-side (CSRCells.select_genes through the
-    native runtime) and the working set densifies directly ON DEVICE from
-    streamed sparse blocks (_densify_on_device) — peak host memory is
-    O(nnz + block); the dense working set exists only in device HBM, where
-    the merge loop needs it anyway. This mirrors the reference, which keeps
-    prep sparse (DelayedArray cosineNorm, R/cosineNorm.R:59-61) and coerces
-    to dense inside the merge loop for the NN search and the per-gene
-    output (R/mnnCorrect.R:282-284). With ``correct_all`` the full gene
-    set is the working set; at atlas scale prefer subsetting to HVGs (the
-    vignette's own guidance — classic mode runs on ~100 HVGs,
-    vignettes/correction.Rmd:193-197).
+    native runtime). Without ``correct_all`` the working set is the gene
+    subset and densifies directly ON DEVICE from streamed sparse blocks
+    (_densify_on_device) — peak host memory O(nnz + block). With
+    ``correct_all`` + ``subset_row`` the full-gene out-matrices densify on
+    the HOST and the merge loop runs with ``out_on_host=True``
+    (classic_mnn.mnn_correct): device HBM holds only the gene-subset
+    in-matrices plus per-step operands (gathered MNN rows, the right side's
+    correction), so a 1M-cell x 2k-gene correct_all run fits one chip
+    (VERDICT r4 #5). The host-side dense (N, G) is the per-gene output the
+    caller asked for — classic mode's result is dense by definition
+    (reference R/mnnCorrect.R:282-284 makes the same call: sparse prep,
+    dense per merge-loop need). ``correct_all`` without ``subset_row``
+    corrects every gene in-space; its working set is inherently (N, G) on
+    device — at atlas scale pass HVGs (the vignette's own guidance: classic
+    mode runs on ~100 HVGs, vignettes/correction.Rmd:193-197).
     """
     from .classic_mnn import mnn_correct
 
     if subset_row is not None and not correct_all:
         ins = [s.select_genes(np.asarray(subset_row)) for s in stores]
-        sub = None
-    else:
-        ins = list(stores)
-        sub = subset_row
-    dense = [_densify_on_device(s, block_rows) for s in ins]
+        dense = [_densify_on_device(s, block_rows) for s in ins]
+        return mnn_correct(dense, subset_row=None, correct_all=False, **kwargs)
+    if subset_row is not None and correct_all:
+        host = [s.to_dense() for s in stores]
+        return mnn_correct(
+            host, subset_row=subset_row, correct_all=True, out_on_host=True,
+            **kwargs,
+        )
+    dense = [_densify_on_device(s, block_rows) for s in stores]
     return mnn_correct(
-        dense, subset_row=sub, correct_all=correct_all, **kwargs
+        dense, subset_row=subset_row, correct_all=correct_all, **kwargs
     )

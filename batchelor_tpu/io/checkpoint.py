@@ -24,6 +24,13 @@ __all__ = ["MergeCheckpointer", "save_pca_stage", "load_pca_stage"]
 
 _VERSION = 1
 
+# Per-chunk byte budget when streaming a device-resident node to disk.
+# Late-step nodes are multi-GB (10M cells x 50 dims x fp32 = 2 GB): one
+# np.asarray over the whole array would buffer it all on host and move it
+# as a single transfer; chunked slices bound host memory and keep each
+# device fetch restartable (VERDICT r4 #8).
+_STREAM_BYTES = 128 << 20
+
 
 def save_pca_stage(path: str, components, rotation, centers, batch_names=None) -> None:
     """Serialize the multiBatchPCA stage (the 'most time-consuming step')."""
@@ -84,9 +91,27 @@ class MergeCheckpointer:
     def _step_file(self, mdx: int) -> str:
         return os.path.join(self.dir, f"step_{mdx:04d}.npz")
 
+    def _data_file(self, mdx: int) -> str:
+        return os.path.join(self.dir, f"step_{mdx:04d}_data.npy")
+
+    def _stream_data(self, mdx: int, data) -> None:
+        """Stream a (possibly device-resident) (n, d) array to
+        step_XXXX_data.npy in _STREAM_BYTES chunks: bounded host memory,
+        chunked device fetches instead of one multi-GB np.asarray."""
+        n, d = data.shape
+        dtype = np.dtype(str(np.asarray(data[:1]).dtype))
+        tmp = self._data_file(mdx) + ".tmp.npy"
+        mm = np.lib.format.open_memmap(tmp, mode="w+", dtype=dtype, shape=(n, d))
+        rows = max(1, _STREAM_BYTES // max(1, dtype.itemsize * d))
+        for a in range(0, n, rows):
+            mm[a : min(n, a + rows)] = np.asarray(data[a : min(n, a + rows)])
+        mm.flush()
+        del mm
+        os.replace(tmp, self._data_file(mdx))
+
     def save_step(self, mdx, tree_path, chosen, node: MergeNode, diag: dict) -> None:
+        self._stream_data(mdx, node.data)
         arrays = {
-            "data": np.asarray(node.data),
             "origin": np.asarray(node.origin),
             "index": np.asarray(node.index, dtype=np.int64),
             "tree_path": np.asarray(tree_path if tree_path is not None else [], dtype=np.int64),
@@ -120,9 +145,13 @@ class MergeCheckpointer:
         import jax.numpy as jnp
 
         n_extras = int(z["n_extras"][0])
+        if "data" in z.files:        # pre-streaming layout (round <= 4)
+            data = jnp.asarray(z["data"])
+        else:
+            data = np.load(self._data_file(mdx), mmap_mode="r")
         node = MergeNode(
             index=z["index"].tolist(),
-            data=jnp.asarray(z["data"]),
+            data=data,
             restrict=z["restrict"] if "restrict" in z.files else None,
             origin=z["origin"],
             extras=[jnp.asarray(z[f"extra_{i}"]) for i in range(n_extras)],

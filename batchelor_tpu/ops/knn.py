@@ -195,8 +195,15 @@ def query_knn(
         matmul, ~recall 0.996; distances exact fp32);
       * "approx": lax.approx_max_k, recall ~0.99 (the Annoy/HNSW analog);
       * "auto": "exact" for small problems (where it is index-stable and
-        compile-cheap), "chunked" once the score matrix is large enough
-        for the two-pass kernel to win (TPU only).
+        compile-cheap), "bf16" once the score matrix is large enough for
+        the two-pass kernel to win (TPU only). bf16 selection is the
+        documented scale default (NOTES "exact-kNN conclusion"): measured
+        recall 1.0 at 98k^2 on cosine-scale data, ~12% faster than the
+        3-pass "chunked" selection, and the rescore that produces the
+        reported distances is exact fp32 either way — near-ties at bf16
+        score resolution may swap, exactly like the reference's KMKNN
+        vs Annoy/HNSW BNPARAM trade (R/fastMNN.R:287). Pass
+        method="chunked" for exact fp32-grade selection at scale.
     ``k`` must not exceed the number of valid data rows; ``n_data_valid``
     or ``data_mask`` exclude padded/invalid data rows.
 
@@ -217,7 +224,7 @@ def query_knn(
         big = query.shape[0] * data.shape[0] > (1 << 26)
         enough_chunks = data.shape[0] >= 256 * k
         method = (
-            "chunked"
+            "bf16"
             if big and enough_chunks and jax.default_backend() == "tpu"
             and jnp.promote_types(query.dtype, jnp.float32) == jnp.float32
             else "exact"

@@ -29,11 +29,13 @@ __all__ = ["adjust_shift_variance"]
 
 _CHUNK = 1024  # query cells per block (memory ~ chunk x (N1 + N2))
 
-# Above this many reference cells the weighted-quantile search switches
-# from the per-chunk (C, N1) lax.sort to the radix bit-descent below: the
-# sort is the scaling bound past ~150k cells (NOTES), while the descent is
-# K=24 cheap masked row-reductions (HBM-bound, no sort network).
-_RADIX_MIN_N1 = 16384
+# MEASURED (NOTES round-5, v5e, G=100, N=100k..400k): the radix descent
+# and the per-chunk (C, N1) lax.sort time IDENTICALLY (3.7/14.6/22.6/53.8 s
+# at 100k/200k/250k/400k for both) — the kernel is bound by the O(N^2 G)
+# weight-matrix construction, not the quantile search. Since speed ties,
+# the exact sort is the default at every N; the radix path (resolution
+# 2^-24 of the row range) stays available via quantile_method="radix" for
+# regimes where a sort-free pass matters.
 _RADIX_BITS = 24  # quantization resolution (2^-24 of the per-row range)
 
 
@@ -100,7 +102,7 @@ def _ref_quantile_radix(proj, w, valid, target, bits: int = _RADIX_BITS):
     return jnp.where(crossed & jnp.isfinite(q), q, hi)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("use_radix",))
 def _adjust(
     data1: jnp.ndarray,       # (N1, G)
     data2: jnp.ndarray,       # (N2, G)
@@ -108,6 +110,7 @@ def _adjust(
     sigma2: jnp.ndarray,
     mask1: jnp.ndarray,       # (N1,) bool: restrict1
     mask2: jnp.ndarray,       # (N2,) bool: restrict2
+    use_radix: bool = False,
 ):
     acc = jnp.promote_types(data1.dtype, jnp.float32)
     d1 = data1.astype(acc)
@@ -178,9 +181,9 @@ def _adjust(
         w1 = jnp.exp(lw1 - m1)                         # shared exp(-m1) scale
         target = prob2 * jnp.sum(w1, axis=1)
 
-        if n1 >= _RADIX_MIN_N1:
-            # large-N1 regime: radix bit-descent replaces the (C, N1)
-            # sort (the scaling bound past ~150k cells)
+        if use_radix:
+            # sort-free weighted quantile (measured speed-equal to the
+            # sort at 100k-400k; opt-in, see module constants)
             valid1 = jnp.broadcast_to(mask1[None, :], P1.shape)
             ref_quan = _ref_quantile_radix(P1, w1, valid1, target)
             return (ref_quan - curproj) / l2ch
@@ -234,6 +237,7 @@ def adjust_shift_variance(
     restrict1: Optional[np.ndarray] = None,
     restrict2: Optional[np.ndarray] = None,
     subset_row: Optional[np.ndarray] = None,
+    quantile_method: str = "sort",
 ):
     """Per-cell scaled correction vectors (reference .adjust_shift_variance,
     R/mnnCorrect.R:462-481).
@@ -244,14 +248,35 @@ def adjust_shift_variance(
     >= 1. Zero-norm correction vectors are left unscaled (scale 1; the C++
     produces NaN there, which R's pmax then propagates — we instead define
     the no-op).
+
+    ``quantile_method``: "sort" (default; exact sorted-cumsum crossing) or
+    "radix" (sort-free 24-bit descent, _ref_quantile_radix). Measured
+    speed-identical on v5e at N=100k-400k, G=100 — the kernel is bound by
+    its O(N^2 G) weight construction — so the exact sort is the default
+    at every N. In fp32 the radix partial sums round differently from the
+    sorted cumsum, so knife-edge ECDF crossings may flip by one element
+    (exact in fp64).
     """
-    data1 = jnp.asarray(data1)
-    data2 = jnp.asarray(data2)
-    correction = jnp.asarray(correction)
-    loc1, loc2, corr_loc = data1, data2, correction
     if subset_row is not None:
-        s = jnp.asarray(np.asarray(subset_row))
-        loc1, loc2, corr_loc = data1[:, s], data2[:, s], correction[:, s]
+        # subset BEFORE any device conversion: host (np) inputs slice on
+        # host, so the full-gene out-matrices of the out_on_host classic
+        # path never materialize in HBM (only their subset columns and the
+        # correction do). Device inputs slice on device as before.
+        s = np.asarray(subset_row)
+
+        def _loc(x):
+            if isinstance(x, np.ndarray):
+                return jnp.asarray(x[:, s])
+            return jnp.asarray(x)[:, jnp.asarray(s)]
+
+        loc1, loc2 = _loc(data1), _loc(data2)
+        correction = jnp.asarray(correction)
+        corr_loc = correction[:, jnp.asarray(s)]
+    else:
+        data1 = jnp.asarray(data1)
+        data2 = jnp.asarray(data2)
+        correction = jnp.asarray(correction)
+        loc1, loc2, corr_loc = data1, data2, correction
 
     n1, n2 = loc1.shape[0], loc2.shape[0]
     m1 = np.zeros(n1, dtype=bool)
@@ -265,8 +290,12 @@ def adjust_shift_variance(
     else:
         m2[np.asarray(restrict2)] = True
 
+    if quantile_method not in ("sort", "radix"):
+        raise ValueError(f"unknown quantile_method {quantile_method!r}")
     scaling = _adjust(
-        loc1, loc2, corr_loc, jnp.asarray(sigma2, loc1.dtype), jnp.asarray(m1), jnp.asarray(m2)
+        loc1, loc2, corr_loc, jnp.asarray(sigma2, loc1.dtype),
+        jnp.asarray(m1), jnp.asarray(m2),
+        use_radix=quantile_method == "radix",
     )
     scaling = jnp.where(jnp.isfinite(scaling), scaling, 1.0)
     scaling = jnp.maximum(scaling, 1.0)

@@ -76,32 +76,68 @@ def _mutual_mask_ring(lshard, rshard, lvalid, rvalid, lres, rres,
     return mutual, l2r
 
 
+# Pad-row threshold above which a gather-mode merge step executes as two
+# programs (search | correct) even on a multi-device mesh. One program
+# containing the whole composed step reliably crashes the axon TPU worker
+# at >= 2M-pad shapes while the same halves run clean as separate programs
+# (NOTES round-4 config-5 bisection); the fault pattern is program-size/
+# VMEM-shaped, so real multi-chip meshes gate on shape too (VERDICT r4 #2).
+SPLIT_PAD_ROWS = 2_000_000
+
+
 @functools.lru_cache(maxsize=64)
 def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
-                 min_batch_skip: float, knn_method: str, memory: str, nb: int):
-    """One compiled step per (mesh, k, ...) combo: reusing the jitted
+                 min_batch_skip: float, knn_method: str, memory: str, nb: int,
+                 split: bool = False):
+    """One compiled step per (mesh, k, ..., split) combo: reusing the jitted
     callable lets XLA's jit cache hit across merge steps with equal
     shapes (a fresh closure per step would never cache).
 
-    On a 1-device mesh the gather-mode step skips shard_map (axis=None:
-    psum/all_gather are identities) AND executes as TWO jits —
-    merge_step_search then merge_step_correct, intermediates staying on
-    device. One program containing the whole step reliably crashes the
-    axon TPU worker at >= 2M-pad shapes while the same halves run clean
-    as separate programs (NOTES round-4); the split also compiles faster.
+    ``split`` (shape-gated by the caller: 1-device gather always, any
+    gather mesh above SPLIT_PAD_ROWS padded rows) executes the step as TWO
+    jit programs — merge_step_search then merge_step_correct — with the
+    intermediates (replayed shards, mutual mask, l2r) staying on device,
+    sharded on multi-device meshes.
     """
     spec_data = P(CELLS_AXIS, None)
     spec_mask = P(CELLS_AXIS)
-    if memory == "gather" and int(mesh.devices.size) == 1:
-        search = jax.jit(functools.partial(
+    ndev = int(mesh.devices.size)
+    if memory == "gather" and split:
+        search_body = functools.partial(
             merge_step_search, k1=k1, k2=k2, knn_method=knn_method, nb=nb,
-            axis=None, with_var=True,
-        ))
-        correct = jax.jit(functools.partial(
+            axis=None if ndev == 1 else CELLS_AXIS, with_var=True,
+        )
+        correct_body = functools.partial(
             merge_step_correct, tricube_k=tricube_k, ndist=ndist,
             min_batch_skip=min_batch_skip, knn_method=knn_method, nb=nb,
-            axis=None, with_var=True,
-        ))
+            axis=None if ndev == 1 else CELLS_AXIS, with_var=True,
+        )
+        if ndev == 1:
+            search = jax.jit(search_body)
+            correct = jax.jit(correct_body)
+        else:
+            search = jax.jit(shard_map(
+                search_body, mesh=mesh,
+                in_specs=(
+                    spec_data, spec_data, spec_mask, spec_mask, spec_mask,
+                    spec_mask, spec_mask, spec_mask, P(), P(),
+                ),
+                out_specs=(
+                    spec_data, spec_data, P(CELLS_AXIS, None),
+                    P(CELLS_AXIS, None), P(), P(),
+                ),
+                check_vma=False,
+            ))
+            correct = jax.jit(shard_map(
+                correct_body, mesh=mesh,
+                in_specs=(
+                    spec_data, spec_data, spec_mask, spec_mask, spec_mask,
+                    spec_mask, P(CELLS_AXIS, None), P(CELLS_AXIS, None),
+                    spec_mask, spec_mask,
+                ),
+                out_specs=(spec_data, spec_data, P(), P(), P()),
+                check_vma=False,
+            ))
 
         def stepped(ldata, rdata, lvalid, rvalid, lres, rres,
                     lorig, rorig, lex, rex):
@@ -167,9 +203,10 @@ def _jitted_pair_fetch(mesh: Mesh, cap: int):
     pattern, ops/mutual_nn.py, under shard_map): each device nonzero-walks
     its own (nsl, k2) mutual block row-major — concatenating shards in
     device order IS the reference emission order (left cell, then distance
-    rank, src/find_mutual_nns.cpp:30-38). Only 2*cap scalars per device
-    cross the link instead of the full padded mask+index matrices
-    (~100 MB/step at 1M-scale on a ~25 MB/s link)."""
+    rank, src/find_mutual_nns.cpp:30-38). Called with cap = nsl*k2 (the
+    step's own padded shape) so the heavy nonzero program compiles once
+    per pad bucket rather than once per pair-count bucket (VERDICT r4 #4);
+    the link transfer is bounded separately by _jitted_pair_prefix."""
     def body(mut, idx):
         nsl = mut.shape[0]
         rows, cols = jnp.nonzero(mut, size=cap, fill_value=nsl)
@@ -185,6 +222,15 @@ def _jitted_pair_fetch(mesh: Mesh, cap: int):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_pair_prefix(cap_out: int):
+    """Trivial (ndev, cap) -> (ndev, cap_out) prefix slice: its compile is
+    sub-second, so power-of-two bucketing the ACTUAL pair count here keeps
+    the fetched bytes proportional to real pairs without ever recompiling
+    the nonzero program above."""
+    return jax.jit(lambda rows, second: (rows[:, :cap_out], second[:, :cap_out]))
+
+
 def _collect_pairs_dev(mesh, mutual, l2r, left_n: int, right_n: int) -> np.ndarray:
     """Fetch the MNN pair list via on-device compaction (VERDICT r3 #2).
 
@@ -198,11 +244,13 @@ def _collect_pairs_dev(mesh, mutual, l2r, left_n: int, right_n: int) -> np.ndarr
     cmax = int(counts.max()) if counts.size else 0
     if cmax == 0:
         return np.empty((0, 2), dtype=np.int64)
-    # power-of-two cap buckets the compiled shapes (one compile per bucket)
-    cap = min(1 << (cmax - 1).bit_length(), nsl * mutual.shape[1])
-    rows_s, second_s = _jitted_pair_fetch(mesh, cap)(mutual, l2r)
-    rows_s = np.asarray(rows_s)
-    second_s = np.asarray(second_s)
+    cap = nsl * mutual.shape[1]
+    rows_d, second_d = _jitted_pair_fetch(mesh, cap)(mutual, l2r)
+    cap_out = min(1 << (cmax - 1).bit_length(), cap)
+    if cap_out < cap:
+        rows_d, second_d = _jitted_pair_prefix(cap_out)(rows_d, second_d)
+    rows_s = np.asarray(rows_d)
+    second_s = np.asarray(second_d)
     parts = []
     for s in range(ndev):
         c = int(counts[s])
@@ -527,8 +575,11 @@ def _count_pairs_dev(mesh, left: _DevBatch, right: _DevBatch, k, prop_k,
 
 
 def _node_record(node: _DevBatch) -> MergeNode:
-    """Compact host-side record of a _DevBatch for checkpointing."""
-    data = np.asarray(node.data)[: node.n]
+    """Compact record of a _DevBatch for checkpointing. ``data`` stays a
+    device array (the valid prefix); MergeCheckpointer streams it to disk
+    in bounded chunks rather than fetching the multi-GB node in one
+    np.asarray (VERDICT r4 #8)."""
+    data = node.data[: node.n]
     res_mask = np.asarray(node.res)[: node.n]
     restrict = None
     if not bool(res_mask.all()):
@@ -695,8 +746,13 @@ def distributed_fast_mnn(
         k2 = choose_k(k, prop_k, right.n)
         tric_k = min(choose_k(k, prop_k, right.n), right.n)
 
+        pad_rows = int(left.data.shape[0]) + int(right.data.shape[0])
+        split = memory == "gather" and (
+            int(mesh.devices.size) == 1 or pad_rows >= SPLIT_PAD_ROWS
+        )
         step = _jitted_step(
-            mesh, k1, k2, tric_k, ndist, min_batch_skip, knn_method, memory, nb
+            mesh, k1, k2, tric_k, ndist, min_batch_skip, knn_method, memory,
+            nb, split,
         )
         # pad replay vectors to a fixed count (nb-1) for compile reuse
         lex = _padded_extras(left.extras, emax, d, dt)

@@ -143,6 +143,7 @@ def main():
         pad_buckets=True,
         merge_order=balanced(0, nb),
         checkpoint_dir=ckpt_dir,
+        pca_cache_dir=os.path.join(DATA_DIR, f"pca_cache_{nb}x{n}_{method}"),
         block_rows=65536,
         progress=True,
         # ~5% density counts: per-gene grand averages sit around 0.15, so

@@ -158,6 +158,32 @@ def test_mnn_correct_three_batches_merge_order(rng):
     assert np.allclose(np.asarray(out_order.corrected), reordered, atol=1e-8)
 
 
+def test_mnn_correct_out_on_host_matches_device(rng):
+    """out_on_host=True (HBM-bounded: full-gene out-matrices stay host
+    numpy, only subset in-matrices + per-step operands on device,
+    VERDICT r4 #5) reproduces the all-device correct_all path — including
+    the bio-span and var_adj branches that gather/subset from host."""
+    b1 = rng.normal(size=(60, 40)).astype(np.float32)
+    b2 = (rng.normal(size=(50, 40)) + 1).astype(np.float32)
+    sub = np.arange(0, 40, 2)
+    dev = mnn_correct(
+        [jnp.asarray(b1), jnp.asarray(b2)], subset_row=sub, correct_all=True,
+        svd_dim=2, var_adj=True,
+    )
+    host = mnn_correct(
+        [b1, b2], subset_row=sub, correct_all=True, svd_dim=2, var_adj=True,
+        out_on_host=True,
+    )
+    assert isinstance(host.corrected, np.ndarray)
+    np.testing.assert_allclose(
+        host.corrected, np.asarray(dev.corrected), atol=1e-5, rtol=1e-5
+    )
+    for a, b in zip(host.merge_info, dev.merge_info):
+        assert np.array_equal(a.pairs, b.pairs)
+    with pytest.raises(ValueError, match="out_on_host"):
+        mnn_correct([b1, b2], out_on_host=True)
+
+
 def test_radix_quantile_matches_sorted_cumsum(rng):
     """The radix bit-descent weighted quantile (large-N1 path of
     adjust_shift_variance) matches the sorted-cumsum rule."""
@@ -202,20 +228,44 @@ def test_radix_quantile_matches_sorted_cumsum(rng):
     assert np.allclose(qn, expect_hi)
 
 
-def test_adjust_shift_variance_radix_path_matches_sort(rng, monkeypatch):
-    """End-to-end: the radix path produces the same scalings as the sort
-    path on the same inputs (threshold forced down)."""
+def test_adjust_shift_variance_radix_large_n1_vs_oracle(rng):
+    """The radix descent at a production-scale N1 (16.5k reference cells,
+    no monkeypatching — quantile_method is real API) matches the O(N^2)
+    quantile-matching oracle (reference src/adjust_shift_variance.cpp:51-161
+    semantics). VERDICT r4 #3."""
+    n1 = 16500
+    d1 = rng.normal(size=(n1, 8)).astype(np.float64)
+    d2 = (rng.normal(size=(48, 8)) + 0.5).astype(np.float64)
+    corr = rng.normal(size=(48, 8)).astype(np.float64)
+    ours = np.asarray(adjust_shift_variance(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(corr), 0.5,
+        quantile_method="radix"))
+    osc = oracle.adjust_shift_variance(d1, d2, corr, 0.5)
+    expected = np.maximum(osc, 1.0)[:, None] * corr
+    np.testing.assert_allclose(ours, expected, atol=1e-5, rtol=1e-5)
+    # the default (exact sort) agrees too
+    ours_sort = np.asarray(adjust_shift_variance(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(corr), 0.5))
+    np.testing.assert_allclose(ours_sort, expected, atol=1e-6, rtol=1e-6)
+
+
+def test_adjust_shift_variance_radix_path_matches_sort(rng):
+    """End-to-end: quantile_method='radix' produces the same scalings as
+    the default exact sort on the same inputs (fp64: the radix partial sums
+    round identically; in fp32 knife-edge ECDF crossings can flip by one
+    element — why the exact sort is the production default)."""
     from batchelor_tpu.ops import shift_variance as sv
 
-    d1 = rng.normal(size=(500, 10)).astype(np.float32)
-    d2 = (rng.normal(size=(400, 10)) + 0.5).astype(np.float32)
-    corr = rng.normal(size=(400, 10)).astype(np.float32)
+    d1 = rng.normal(size=(500, 10))
+    d2 = rng.normal(size=(400, 10)) + 0.5
+    corr = rng.normal(size=(400, 10))
     ref = np.asarray(sv.adjust_shift_variance(
         jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(corr), 0.5))
-    monkeypatch.setattr(sv, "_RADIX_MIN_N1", 1)
-    sv._adjust._clear_cache()
     out = np.asarray(sv.adjust_shift_variance(
-        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(corr), 0.5))
-    monkeypatch.undo()
-    sv._adjust._clear_cache()
-    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(corr), 0.5,
+        quantile_method="radix"))
+    np.testing.assert_allclose(out, ref, atol=1e-10, rtol=1e-10)
+    with pytest.raises(ValueError, match="quantile_method"):
+        sv.adjust_shift_variance(
+            jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(corr), 0.5,
+            quantile_method="bogus")

@@ -202,6 +202,33 @@ def test_driver_ring_memory_restrict(rng, mesh8):
         assert set(map(tuple, a.pairs.tolist())) == set(map(tuple, b.pairs.tolist()))
 
 
+def test_driver_multi_device_split_step_matches_composed(rng, mesh8, monkeypatch):
+    """The shape-gated two-program step split (search | correct as separate
+    shard_map jits, VERDICT r4 #2) is equality-tested on the 8-device mesh:
+    forcing the split threshold to 0 must reproduce the composed step
+    bit-for-bit (same math, same collectives, only the jit boundary moves),
+    including on restricted inputs and multi-step trees."""
+    import batchelor_tpu.parallel.driver as drv
+
+    b1 = rng.normal(size=(120, 12))
+    b2 = rng.normal(size=(150, 12)) + 1
+    b3 = rng.normal(size=(90, 12)) + 2
+    res = [np.arange(0, 120, 2), None, None]
+    mats = [jnp.asarray(b) for b in (b1, b2, b3)]
+    composed = distributed_fast_mnn(mats, mesh8, restrict=res)
+    monkeypatch.setattr(drv, "SPLIT_PAD_ROWS", 0)
+    drv._jitted_step.cache_clear()
+    split = distributed_fast_mnn(mats, mesh8, restrict=res)
+    drv._jitted_step.cache_clear()
+    assert np.array_equal(
+        np.asarray(split.corrected), np.asarray(composed.corrected)
+    )
+    for a, b in zip(split.merge_info, composed.merge_info):
+        assert np.array_equal(a.pairs, b.pairs)
+        assert a.batch_size == b.batch_size
+        assert np.array_equal(a.lost_var, b.lost_var)
+
+
 def test_driver_one_device_plain_jit_matches_mesh(rng):
     """The 1-device gather-mode fast path (plain jit, no shard_map)
     matches the 8-device mesh run."""
