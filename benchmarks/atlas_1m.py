@@ -5,14 +5,21 @@ Single-chip scale demo for BASELINE config 4: distributed_fast_mnn on a
 steps). Prints per-step diagnostics, one machine-readable JSON line per
 stage (bench.py style), and the end-to-end wall time.
 
-Usage: python benchmarks/atlas_1m.py [knn_method] [cells_per_batch] [diag]
-(defaults: bf16, 125000). With the third arg ``diag`` the script runs the
-full BASELINE config-4 workload: the merge with pair collection, then
-out-of-core clusterMNN over a G-gene CSR expression space
-(correct.cluster_mnn.cluster_mnn_csr — centroids are host-side streamed
-segment means, only (block, G) subset blocks ever reach the device), then
-block-processed mnnDeltaVariance over the collected pairs. Timing
-materializes a device-side scalar (NOTES.md measurement discipline).
+Usage: python benchmarks/atlas_1m.py [knn_method] [cells_per_batch] [flags...]
+(defaults: bf16, 125000). Flags (any order after the first two args):
+  diag        run the full BASELINE config-4 workload: merge with pair
+              collection, out-of-core clusterMNN over a G-gene CSR
+              expression space (cluster_mnn_csr), then block-processed
+              mnnDeltaVariance over the collected pairs;
+  ring        memory="ring" merge steps (constant per-device memory; the
+              >HBM regime fallback) instead of the default gather mode —
+              the gather-vs-ring same-shape comparison VERDICT r4 #7 asks
+              for;
+  checkpoint  per-merge-step checkpointing (streamed node records,
+              io/checkpoint.py) — overhead vs the uncheckpointed run is
+              the VERDICT r4 #8 done-bar (<~15%).
+Timing materializes a device-side scalar (NOTES.md measurement
+discipline).
 """
 import json
 import sys
@@ -46,12 +53,21 @@ def emit(metric: str, value: float, unit: str, **extra):
 def main():
     method = sys.argv[1] if len(sys.argv) > 1 else "bf16"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 125_000
-    diag = len(sys.argv) > 3 and sys.argv[3] == "diag"
+    flags = set(sys.argv[3:])
+    diag = "diag" in flags
+    memory = "ring" if "ring" in flags else "gather"
+    ckpt_dir = None
+    if "checkpoint" in flags:
+        import shutil
+        import tempfile
+
+        ckpt_dir = tempfile.mkdtemp(prefix="atlas1m_ckpt_")
     nb = 8
     d = 50
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()} {nb}x{n} cells, d={d}, "
-          f"knn_method={method} diagnostics={diag}", flush=True)
+          f"knn_method={method} diagnostics={diag} memory={memory} "
+          f"checkpoint={ckpt_dir is not None}", flush=True)
 
     # clustered toy atlas: shared cell types + per-batch shift
     means = rng.normal(size=(10, d)).astype(np.float32) * 2.0
@@ -67,7 +83,8 @@ def main():
     t0 = time.perf_counter()
     res = distributed_fast_mnn(
         batches, mesh, k=20, knn_method=method, pad_buckets=True,
-        collect_pairs=diag, progress=True,
+        collect_pairs=diag, progress=True, memory=memory,
+        checkpoint_dir=ckpt_dir,
     )
     # force: device-side scalar
     _ = float(jnp.sum(jnp.asarray(res.corrected[:1, :1])))
@@ -77,8 +94,25 @@ def main():
               f"batch_size={info.batch_size:.3f} skipped={info.skipped}",
               flush=True)
     total = nb * n
-    emit("atlas1m_merge", elapsed, "s", cells=total, knn_method=method)
-    emit("atlas1m_merge_throughput", total / elapsed / 1e3, "kcells/s/chip")
+    suffix = "" if memory == "gather" else f"_{memory}"
+    if ckpt_dir is not None:
+        suffix += "_ckpt"
+    emit(f"atlas1m_merge{suffix}", elapsed, "s", cells=total,
+         knn_method=method)
+    emit(f"atlas1m_merge_throughput{suffix}", total / elapsed / 1e3,
+         "kcells/s/chip")
+    if ckpt_dir is not None:
+        import shutil
+
+        resumed = distributed_fast_mnn(
+            batches, mesh, k=20, knn_method=method, pad_buckets=True,
+            collect_pairs=diag, progress=False, memory=memory,
+            checkpoint_dir=ckpt_dir,
+        )
+        bit = bool(np.array_equal(np.asarray(resumed.corrected),
+                                  np.asarray(res.corrected)))
+        emit("atlas1m_resume_bit_identical", 1.0 if bit else 0.0, "bool")
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
 
     if diag:
         _diagnostics(rng, assigns, res, n, nb)
