@@ -65,7 +65,7 @@ DT = 1024            # data rows per kernel block
 RESCORE_TILE = 512   # query rows per rescore block
 
 
-def _chunkmax_kernel(q_ref, d_ref, dn_ref, m_ref, *, six_pass: bool = False):
+def _chunkmax_kernel(q_ref, d_ref, m_ref, *, six_pass: bool = False):
     """One (QT x DT) score block -> per-SUB-row sub-chunk max, transposed.
 
     Scores are computed as (DT, QT) so the 32-row grouping is a leading-dim
@@ -122,24 +122,29 @@ def _chunkmax_kernel(q_ref, d_ref, dn_ref, m_ref, *, six_pass: bool = False):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
-    s_t = 2.0 * s - dn_ref[:]                       # (DT, QT)
+    # data norms ride in two folded feature columns (see _prep_pass1), so
+    # s already equals q.x - dn/2 and no (N, 1) side input exists — an
+    # (N, 1) fp32 pallas input materializes in T(8,128) tiled layout at
+    # 128x padding (2.38 GB at a 5M-row step; the config-5 OOM).
+    s_t = 2.0 * s                                   # (DT, QT)
     m_ref[:] = jnp.max(s_t.reshape(DT // SUB, SUB, QT), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "six_pass"))
 def chunk_max_scores(
-    query: jnp.ndarray, data: jnp.ndarray, dn: jnp.ndarray,
+    query: jnp.ndarray, data: jnp.ndarray,
     interpret: bool = False, six_pass: bool = False,
 ):
     """(N_d/SUB, N_q) transposed sub-chunk maxima of the score matrix.
 
     ``query``/``data`` must be padded: N_q % QT == 0, N_d % DT == 0, and the
-    feature dim padded to a multiple of 128 (or exactly 64). ``dn`` =
-    (N_d, 1) fp32 column of ||x||^2 with +inf for invalid rows. fp32 inputs
-    select at ~2^-21 relative score precision (3-pass bf16 split;
-    ``six_pass`` buys full-fp32-equivalent selection for ~1.6x pass-1
-    cost); bf16 inputs trade ~3 decimal digits for a single-pass MXU
-    matmul.
+    feature dim padded to a multiple of 128 (or exactly 64) WITH the data
+    norms folded into two feature columns (see _prep_pass1: x carries
+    (dn_hi, dn_lo), q carries (-0.5, -0.5), so q.x = raw_q.raw_x - dn/2
+    and the kernel's 2*s is the chunk score directly). fp32 inputs select
+    at ~2^-21 relative score precision (3-pass bf16 split; ``six_pass``
+    buys full-fp32-equivalent selection for ~1.6x pass-1 cost); bf16
+    inputs trade ~3 decimal digits for a single-pass MXU matmul.
     """
     nq, d = query.shape
     nd = data.shape[0]
@@ -150,7 +155,6 @@ def chunk_max_scores(
         in_specs=[
             pl.BlockSpec((QT, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((DT, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((DT, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((DT // SUB, QT), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
@@ -161,7 +165,7 @@ def chunk_max_scores(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(query, data, dn)
+    )(query, data)
 
 
 def _pad_axis(x, multiple, axis, value=0.0):
@@ -183,19 +187,33 @@ def _prep_pass1(query, data, data_valid, interpret: bool = False,
     matmul — candidate selection only, pass 2 rescores exactly."""
     nq, d0 = query.shape
     acc = jnp.float32
-    dpad = 64 if d0 <= 64 else -(-d0 // 128) * 128
+    # two spare pad columns carry the folded data norms (dn_hi, dn_lo)
+    dpad = 64 if d0 <= 62 else -(-(d0 + 2) // 128) * 128
     q = _pad_axis(_pad_axis(query.astype(acc), QT, 0), dpad, 1)
     x = _pad_axis(_pad_axis(data.astype(acc), DT, 0), dpad, 1)
     dn = jnp.sum(jnp.square(x), axis=1)
     valid = _pad_axis(data_valid, DT, 0, value=False)
-    dn = jnp.where(valid, dn, jnp.inf)
+    # finite sentinel, not inf: the hi/lo bf16 split of inf is inf + NaN
+    dn = jnp.where(valid, dn, jnp.asarray(1e30, acc))
+    # Fold ||x||^2 into the matmul as two feature columns so no (N, 1)
+    # side input exists (its T(8,128) tiled layout pads 128x — 2.38 GB at
+    # a 5M-row merge step, the config-5 compile OOM). x gets (dn_hi,
+    # dn_lo) with q = (-0.5, -0.5): q.x accumulates -dn/2 exactly like the
+    # old fp32 subtraction up to the hi/lo split error ~2^-24 of dn —
+    # below the 3-pass path's documented ~2^-21 selection error (dn_hi is
+    # bf16-exact by construction, so every split mode reproduces it; only
+    # dn_lo, itself 2^-8 of dn, is subject to further bf16 rounding).
+    dn_hi = dn.astype(jnp.bfloat16).astype(acc)
+    dn_lo = dn - dn_hi
+    x = x.at[:, dpad - 2].set(dn_hi).at[:, dpad - 1].set(dn_lo)
+    q = q.at[:, dpad - 2].set(-0.5).at[:, dpad - 1].set(-0.5)
     if bf16:
         q = q.astype(jnp.bfloat16)
         x = x.astype(jnp.bfloat16)
     # stays TRANSPOSED (C32, nq_pad): transposing the full matrix here costs
     # a second m32-sized HBM buffer (7.9 GB at 500k x 126k — the 1M-atlas
     # OOM); _select_subchunks transposes per query tile instead.
-    return chunk_max_scores(q, x, dn[:, None], interpret, six_pass)
+    return chunk_max_scores(q, x, interpret, six_pass)
 
 
 SELECT_TILE = 16384       # query rows selected per tile (bounds HBM temps)

@@ -38,7 +38,9 @@ from ..ops.merge_math import (
     tricube_weights,
     _mutual_mask,
 )
-from ..ops.mutual_nn import choose_k
+from ..ops.correction import pair_segment_sums
+from ..ops.knn import query_knn
+from ..ops.mutual_nn import choose_k, membership_rows
 from ..utils.batching import reindex_pairings, restore_original_order
 from ..utils.telemetry import trace_span
 from ..utils.trees import MergeNode, binarize_tree
@@ -84,11 +86,90 @@ def _mutual_mask_ring(lshard, rshard, lvalid, rvalid, lres, rres,
 # VMEM-shaped, so real multi-chip meshes gate on shape too (VERDICT r4 #2).
 SPLIT_PAD_ROWS = 2_000_000
 
+# Above this many total padded rows a 1-device gather step runs fully
+# PHASED: replay/membership/correction as small jits and each kNN search
+# eagerly through knn_pallas's separately-jitted stages. A single (even
+# half-)step program at (5M, 5M) exceeds the v5e's HBM in its memory PLAN
+# alone — XLA's tiled temp layouts pad narrow arrays (50->128 lanes 2.6x,
+# (N, 20) int carries 6.4x) and remat copies stack up to 17.5 GB
+# (round-5 compile-OOM breakdowns in NOTES); per-stage programs keep
+# every temp set bounded and pass intermediates in compact entry layouts.
+PHASED_PAD_ROWS = 6_000_000
+
+
+def _replay_phase(ldata, rdata, lvalid, rvalid, lres, rres, lorig, rorig,
+                  lex, rex, *, nb: int):
+    """Phased step 1/5: pre-merge variances + orthogonalization replay
+    (host-engine order: per_batch_var precedes replay, R/fastMNN.R:467)."""
+    var_old = (
+        perbatch_var(ldata, lorig, lvalid, nb, None)
+        + perbatch_var(rdata, rorig, rvalid, nb, None)
+    )
+    rs = replay_extras(rdata, rres & rvalid, lex, None)
+    ls = replay_extras(ldata, lres & lvalid, rex, None)
+    return ls, rs, var_old
+
+
+def _membership_phase(l2r, r2l, lvalid, lres):
+    """Phased step 3/5: mutual membership mask + pair count (1-device:
+    gathered tables are the local tables)."""
+    my_ids = jnp.arange(l2r.shape[0], dtype=l2r.dtype)
+    mutual = membership_rows(l2r, r2l, my_ids)
+    mutual = mutual & (lres & lvalid)[:, None]
+    return mutual, jnp.sum(mutual)
+
+
+def _correct_a_phase(ls, rs, lvalid, rvalid, lres, rres, mutual, l2r,
+                     lorig, rorig, *, min_batch_skip: float, nb: int):
+    """Phased step 4/5: segment-averaged corrections, batch-vector stats,
+    centering of both sides, post variances, recomputed averages — the
+    merge_step_correct body up to (but excluding) the tricube kNN."""
+    n2 = rs.shape[0]
+
+    def averaged(l_rows, r_rows):
+        lsums, counts = pair_segment_sums(l_rows, l2r, mutual, n2)
+        sums = lsums - r_rows * counts[:, None]
+        return sums / jnp.maximum(counts, 1.0)[:, None], counts > 0
+
+    avg, involved = averaged(ls, rs)
+    overall, magnitude = batch_vector_stats(avg, involved)
+    do_correct = magnitude >= min_batch_skip
+
+    v = overall / jnp.sqrt(jnp.sum(jnp.square(overall)))
+    lc, _ = center_along(ls, lres & lvalid, v, None)
+    rc, _ = center_along(rs, rres & rvalid, v, None)
+    lc = jnp.where(do_correct, lc, ls)
+    rc = jnp.where(do_correct, rc, rs)
+
+    var_new = (
+        perbatch_var(lc, lorig, lvalid, nb, None)
+        + perbatch_var(rc, rorig, rvalid, nb, None)
+    )
+    avg2, _ = averaged(lc, rc)
+    return lc, rc, avg2, involved, overall, magnitude, var_new
+
+
+def _correct_b_phase(rc, idx, dist, avg2, magnitude, *, ndist: float,
+                     min_batch_skip: float):
+    """Phased step 5/5: tricube-weighted apply of the averaged corrections
+    (scan over neighbour positions, O(N2 d) memory like merge_step_correct)."""
+    do_correct = magnitude >= min_batch_skip
+    w = tricube_weights(dist, ndist)
+
+    def tric_pos(acc, args):
+        idx_k, w_k = args
+        return acc + w_k[:, None] * avg2[idx_k], None
+
+    correction, _ = lax.scan(
+        tric_pos, jnp.zeros_like(rc), (idx.T, w.T)
+    )
+    return jnp.where(do_correct, rc + correction, rc)
+
 
 @functools.lru_cache(maxsize=64)
 def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
                  min_batch_skip: float, knn_method: str, memory: str, nb: int,
-                 split: bool = False):
+                 split=False):
     """One compiled step per (mesh, k, ..., split) combo: reusing the jitted
     callable lets XLA's jit cache hit across merge steps with equal
     shapes (a fresh closure per step would never cache).
@@ -102,6 +183,55 @@ def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
     spec_data = P(CELLS_AXIS, None)
     spec_mask = P(CELLS_AXIS)
     ndev = int(mesh.devices.size)
+    if memory == "gather" and split == "phases" and ndev == 1:
+        rep = jax.jit(
+            functools.partial(_replay_phase, nb=nb), donate_argnums=(0, 1)
+        )
+        mem = jax.jit(_membership_phase)
+        corr_a = jax.jit(
+            functools.partial(
+                _correct_a_phase, min_batch_skip=min_batch_skip, nb=nb
+            ),
+            donate_argnums=(0, 1),
+        )
+        corr_b = jax.jit(
+            functools.partial(
+                _correct_b_phase, ndist=ndist, min_batch_skip=min_batch_skip
+            ),
+            donate_argnums=(0,),
+        )
+        mask_and = jax.jit(lambda a, b: a & b)
+
+        def stepped(ldata, rdata, lvalid, rvalid, lres, rres,
+                    lorig, rorig, lex, rex):
+            ls, rs, var_old = rep(
+                ldata, rdata, lvalid, rvalid, lres, rres, lorig, rorig,
+                lex, rex,
+            )
+            # each kNN runs EAGERLY: knn_pallas's stage jits execute as
+            # separate programs with compact entry layouts between them
+            rmask = mask_and(rvalid, rres)
+            lmask = mask_and(lvalid, lres)
+            l2r, _ = query_knn(ls, rs, k2, data_mask=rmask,
+                               method=knn_method)
+            r2l, _ = query_knn(rs, ls, k1, data_mask=lmask,
+                               method=knn_method)
+            del rmask, lmask
+            mutual, n_pairs = mem(l2r, r2l, lvalid, lres)
+            del r2l
+            lc, rc, avg2, involved, overall, mag, var_new = corr_a(
+                ls, rs, lvalid, rvalid, lres, rres, mutual, l2r,
+                lorig, rorig,
+            )
+            tmask = mask_and(involved, rvalid)
+            idx, dist = query_knn(rc, rc, tricube_k, data_mask=tmask,
+                                  method=knn_method)
+            del tmask, involved
+            right_out = corr_b(rc, idx, dist, avg2, mag)
+            return (lc, right_out, overall, mag, n_pairs, mutual, l2r,
+                    var_old, var_new)
+
+        return stepped
     if memory == "gather" and split:
         search_body = functools.partial(
             merge_step_search, k1=k1, k2=k2, knn_method=knn_method, nb=nb,
@@ -112,9 +242,17 @@ def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
             min_batch_skip=min_batch_skip, knn_method=knn_method, nb=nb,
             axis=None if ndev == 1 else CELLS_AXIS, with_var=True,
         )
+        # Donate the (lshard, rshard) input buffers: each phase's data
+        # inputs are dead afterwards (search's raw shards are replaced by
+        # the replayed ones it returns; correct's replayed shards by the
+        # corrected outputs), and at a (5M, 5M) step each pair is 2 GB —
+        # without aliasing, the search program's memory plan exceeds the
+        # v5e's 15.75 GB HBM by ~0.6 GB (observed compile-time OOM).
+        # Leaf buffers are driver-owned (_make_dev_batch copies), so
+        # donation never invalidates caller arrays.
         if ndev == 1:
-            search = jax.jit(search_body)
-            correct = jax.jit(correct_body)
+            search = jax.jit(search_body, donate_argnums=(0, 1))
+            correct = jax.jit(correct_body, donate_argnums=(0, 1))
         else:
             search = jax.jit(shard_map(
                 search_body, mesh=mesh,
@@ -127,7 +265,7 @@ def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
                     P(CELLS_AXIS, None), P(), P(),
                 ),
                 check_vma=False,
-            ))
+            ), donate_argnums=(0, 1))
             correct = jax.jit(shard_map(
                 correct_body, mesh=mesh,
                 in_specs=(
@@ -137,7 +275,7 @@ def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
                 ),
                 out_specs=(spec_data, spec_data, P(), P(), P()),
                 check_vma=False,
-            ))
+            ), donate_argnums=(0, 1))
 
         def stepped(ldata, rdata, lvalid, rvalid, lres, rres,
                     lorig, rorig, lex, rex):
@@ -414,6 +552,12 @@ class _DevBatch:
 def _make_dev_batch(mesh, x, i, restrict):
     ndev = mesh.devices.size
     xpad, n = pad_to_multiple(jnp.asarray(x), ndev)
+    # own the leaf buffer: when no padding is needed, pad_to_multiple
+    # returns the caller's array unchanged and device_put may alias it —
+    # the split step DONATES its input buffers (dead after the search
+    # phase), which must never invalidate an array the caller still holds
+    if isinstance(x, jnp.ndarray) and xpad.shape == x.shape:
+        xpad = jnp.array(xpad, copy=True)
     valid = jnp.arange(xpad.shape[0]) < n
     if restrict is None:
         res = valid
@@ -487,16 +631,20 @@ def _tree_update(tree, path, node):
 
 
 def _bucket_size(n: int, ndev: int, buckets: bool) -> int:
-    """Round up to a device multiple; with ``buckets``, to 1/2/5 x 10^k
-    sizes so merge steps reuse compiled shapes."""
+    """Round up to a device multiple; with ``buckets``, to 1/2/2.5/5 x 10^k
+    sizes so merge steps reuse compiled shapes. The 2.5 rung matters at
+    atlas scale: without it a 2.5M-row merged node pads to 5M and every
+    kNN in that step does 4x the needed score work (padded sizes multiply);
+    it is skipped when 2.5 x 10^k is not integral."""
     base = -(-n // ndev) * ndev
     if not buckets:
         return base
     target = 1
     while True:
-        for m in (1, 2, 5):
-            if m * target >= base:
-                return -(-m * target // ndev) * ndev
+        for num, den in ((1, 1), (2, 1), (5, 2), (5, 1)):
+            cand = target * num // den
+            if cand * den == target * num and cand >= base:
+                return -(-cand // ndev) * ndev
         target *= 10
 
 
@@ -750,6 +898,12 @@ def distributed_fast_mnn(
         split = memory == "gather" and (
             int(mesh.devices.size) == 1 or pad_rows >= SPLIT_PAD_ROWS
         )
+        if (
+            split
+            and pad_rows >= PHASED_PAD_ROWS
+            and int(mesh.devices.size) == 1
+        ):
+            split = "phases"
         step = _jitted_step(
             mesh, k1, k2, tric_k, ndist, min_batch_skip, knn_method, memory,
             nb, split,

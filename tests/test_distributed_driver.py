@@ -229,6 +229,33 @@ def test_driver_multi_device_split_step_matches_composed(rng, mesh8, monkeypatch
         assert np.array_equal(a.lost_var, b.lost_var)
 
 
+def test_driver_phased_step_matches_split(rng, monkeypatch):
+    """The fully-phased 1-device step (replay/membership/correct as small
+    jits, kNNs eager through their stage jits — the >= PHASED_PAD_ROWS
+    regime where one program's memory plan exceeds HBM) reproduces the
+    two-program split path."""
+    import batchelor_tpu.parallel.driver as drv
+
+    b1 = rng.normal(size=(110, 12)).astype(np.float32)
+    b2 = (rng.normal(size=(130, 12)) + 1).astype(np.float32)
+    b3 = (rng.normal(size=(90, 12)) + 2).astype(np.float32)
+    res = [np.arange(0, 110, 2), None, None]
+    mats = [jnp.asarray(b) for b in (b1, b2, b3)]
+    mesh1 = make_cells_mesh(1)
+    ref = distributed_fast_mnn(mats, mesh1, restrict=res)
+    monkeypatch.setattr(drv, "PHASED_PAD_ROWS", 0)
+    drv._jitted_step.cache_clear()
+    phased = distributed_fast_mnn(mats, mesh1, restrict=res)
+    drv._jitted_step.cache_clear()
+    assert np.allclose(
+        np.asarray(phased.corrected), np.asarray(ref.corrected), atol=1e-6
+    )
+    for a, b in zip(phased.merge_info, ref.merge_info):
+        assert np.array_equal(a.pairs, b.pairs)
+        assert np.isclose(a.batch_size, b.batch_size, atol=1e-8)
+        assert np.allclose(a.lost_var, b.lost_var, atol=1e-8)
+
+
 def test_driver_one_device_plain_jit_matches_mesh(rng):
     """The 1-device gather-mode fast path (plain jit, no shard_map)
     matches the 8-device mesh run."""
