@@ -94,7 +94,13 @@ SPLIT_PAD_ROWS = 2_000_000
 # (N, 20) int carries 6.4x) and remat copies stack up to 17.5 GB
 # (round-5 compile-OOM breakdowns in NOTES); per-stage programs keep
 # every temp set bounded and pass intermediates in compact entry layouts.
-PHASED_PAD_ROWS = 6_000_000
+# Threshold set by measurement on the 10M config-5 run: the two-program
+# split runs clean through 4M pad rows (2M x 2M steps, 87-107 s) but the
+# 5M-pad (2.5M x 2.5M) split-search program still kernel-faults the axon
+# worker, while every phase runs clean in isolation at >= that shape
+# (NOTES round-4 bisection) — so phases take over above the measured-good
+# 4M split ceiling.
+PHASED_PAD_ROWS = 4_500_000
 
 
 def _replay_phase(ldata, rdata, lvalid, rvalid, lres, rres, lorig, rorig,
@@ -122,8 +128,12 @@ def _membership_phase(l2r, r2l, lvalid, lres):
 def _correct_a_phase(ls, rs, lvalid, rvalid, lres, rres, mutual, l2r,
                      lorig, rorig, *, min_batch_skip: float, nb: int):
     """Phased step 4/5: segment-averaged corrections, batch-vector stats,
-    centering of both sides, post variances, recomputed averages — the
-    merge_step_correct body up to (but excluding) the tricube kNN."""
+    centering of both sides, post variances — the merge_step_correct body
+    up to (but excluding) the tricube kNN. The recomputed averages (avg2)
+    are deliberately NOT produced here: at a (5M, 5M) step they are a 1 GB
+    array that would sit live through the tricube kNN's pass-1 scan;
+    _avg2_phase recomputes them after the search (HBM accounting in NOTES
+    round-5 config-5 section)."""
     n2 = rs.shape[0]
 
     def averaged(l_rows, r_rows):
@@ -145,8 +155,18 @@ def _correct_a_phase(ls, rs, lvalid, rvalid, lres, rres, mutual, l2r,
         perbatch_var(lc, lorig, lvalid, nb, None)
         + perbatch_var(rc, rorig, rvalid, nb, None)
     )
-    avg2, _ = averaged(lc, rc)
-    return lc, rc, avg2, involved, overall, magnitude, var_new
+    return lc, rc, involved, overall, magnitude, var_new
+
+
+def _avg2_phase(lc, rc, mutual, l2r):
+    """Phased step 4b/5: recompute the segment-averaged corrections from the
+    centered coordinates (merge_step_correct's avg2), deferred until after
+    the tricube kNN so the (N2, d) average array never coexists with the
+    search's pass-1 buffers."""
+    n2 = rc.shape[0]
+    lsums, counts = pair_segment_sums(lc, l2r, mutual, n2)
+    sums = lsums - rc * counts[:, None]
+    return sums / jnp.maximum(counts, 1.0)[:, None]
 
 
 def _correct_b_phase(rc, idx, dist, avg2, magnitude, *, ndist: float,
@@ -201,33 +221,48 @@ def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
             donate_argnums=(0,),
         )
         mask_and = jax.jit(lambda a, b: a & b)
+        avg2_jit = jax.jit(_avg2_phase)
 
         def stepped(ldata, rdata, lvalid, rvalid, lres, rres,
                     lorig, rorig, lex, rex):
-            ls, rs, var_old = rep(
-                ldata, rdata, lvalid, rvalid, lres, rres, lorig, rorig,
-                lex, rex,
-            )
-            # each kNN runs EAGERLY: knn_pallas's stage jits execute as
-            # separate programs with compact entry layouts between them
-            rmask = mask_and(rvalid, rres)
-            lmask = mask_and(lvalid, lres)
-            l2r, _ = query_knn(ls, rs, k2, data_mask=rmask,
-                               method=knn_method)
-            r2l, _ = query_knn(rs, ls, k1, data_mask=lmask,
-                               method=knn_method)
-            del rmask, lmask
-            mutual, n_pairs = mem(l2r, r2l, lvalid, lres)
-            del r2l
-            lc, rc, avg2, involved, overall, mag, var_new = corr_a(
-                ls, rs, lvalid, rvalid, lres, rres, mutual, l2r,
-                lorig, rorig,
-            )
-            tmask = mask_and(involved, rvalid)
-            idx, dist = query_knn(rc, rc, tricube_k, data_mask=tmask,
-                                  method=knn_method)
-            del tmask, involved
-            right_out = corr_b(rc, idx, dist, avg2, mag)
+            from batchelor_tpu.ops import knn_pallas as _kp
+
+            # Halve the pass-1 piece budget for the phased step's eager
+            # kNNs: unlike a standalone search, these run with the step's
+            # long-lived state (corrected shards, masks, pair tables —
+            # ~3.5 GB at a (5M, 5M) step) resident in HBM, and the 2 GB
+            # m_t piece that is fine in isolation tips the worker into a
+            # kernel fault here (10M config-5 run, step 14 tricube search).
+            mt_save = _kp.MT_BUDGET
+            _kp.MT_BUDGET = min(mt_save, 1 << 30)
+            try:
+                ls, rs, var_old = rep(
+                    ldata, rdata, lvalid, rvalid, lres, rres, lorig, rorig,
+                    lex, rex,
+                )
+                # each kNN runs EAGERLY: knn_pallas's stage jits execute as
+                # separate programs with compact entry layouts between them
+                rmask = mask_and(rvalid, rres)
+                lmask = mask_and(lvalid, lres)
+                l2r, _ = query_knn(ls, rs, k2, data_mask=rmask,
+                                   method=knn_method)
+                r2l, _ = query_knn(rs, ls, k1, data_mask=lmask,
+                                   method=knn_method)
+                del rmask, lmask
+                mutual, n_pairs = mem(l2r, r2l, lvalid, lres)
+                del r2l
+                lc, rc, involved, overall, mag, var_new = corr_a(
+                    ls, rs, lvalid, rvalid, lres, rres, mutual, l2r,
+                    lorig, rorig,
+                )
+                tmask = mask_and(involved, rvalid)
+                idx, dist = query_knn(rc, rc, tricube_k, data_mask=tmask,
+                                      method=knn_method)
+                del tmask, involved
+                avg2 = avg2_jit(lc, rc, mutual, l2r)
+                right_out = corr_b(rc, idx, dist, avg2, mag)
+            finally:
+                _kp.MT_BUDGET = mt_save
             return (lc, right_out, overall, mag, n_pairs, mutual, l2r,
                     var_old, var_new)
 
