@@ -183,6 +183,7 @@ def query_knn(
     squared: bool = False,
     method: str = "exact",
     exact_selection: bool = False,
+    indices_only: bool = False,
 ) -> KNNResult:
     """For each row of ``query``, the ``k`` nearest rows of ``data``.
 
@@ -235,7 +236,7 @@ def query_knn(
         return query_knn_tpu(
             query, data, k, n_data_valid=n_data_valid, data_mask=data_mask,
             squared=squared, bf16=(method == "bf16"),
-            exact_selection=exact_selection,
+            exact_selection=exact_selection, indices_only=indices_only,
         )
     nd = data.shape[0]
     if data_mask is not None:
@@ -257,5 +258,10 @@ def query_knn(
         idx, sq = _knn_tiled(query, data, k, valid, pallas_topk=use_pallas)
     else:
         raise ValueError(f"unknown kNN method {method!r}")
+    if indices_only:
+        # membership-only callers (the MNN searches) never read distances;
+        # skipping them saves the (nq, k) fp32 outputs — 2.56 GB tiled at
+        # a 5M-row search (k pads to 128 lanes on TPU)
+        return KNNResult(idx, None)
     dist = sq if squared else jnp.sqrt(sq)
     return KNNResult(idx, dist)

@@ -223,7 +223,13 @@ SINGLE_LEVEL_MAX = 8192   # C32 up to which one flat top-k beats the hierarchy
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def _select_subchunks(m_t, k: int, interpret: bool = False):
     """Exact selection: (C32, nq) TRANSPOSED sub-maxes (as pass 1 emits
-    them) -> (nq, ks) top sub-chunk ids (ks = min(k, candidate count)).
+    them) -> (ks, nq) TRANSPOSED top sub-chunk ids (ks = min(k, candidate
+    count)). The output stays transposed deliberately: an (nq, ks) int32
+    result tiles its ks<128 minor dim up to 128 lanes — 25.6x padding —
+    and the stacked lax.map carrier crosses the TPU runtime's 2^31-byte
+    buffer limit at nq >= ~4.2M rows (kernel fault; see _knn_two_pass).
+    (ks, nq) keeps the 128-aligned query dim minor: ~5 MB per million
+    queries of padding instead of ~500 MB.
 
     Two regimes. C32 <= SINGLE_LEVEL_MAX: one flat topk_rows over the
     sub-maxes (the k selected maxima are k distinct true scores, so the
@@ -271,7 +277,7 @@ def _select_subchunks(m_t, k: int, interpret: bool = False):
         m32 = mt.T                                   # (tile, C32)
         if single:
             _, top = _topk(m32, ks)                  # flat, one pass
-            return top
+            return top.T                             # (ks, tile)
         if c128p != c128:
             m32 = jnp.pad(m32, ((0, 0), (0, (c128p - c128) * RATIO)),
                           constant_values=-jnp.inf)
@@ -285,12 +291,12 @@ def _select_subchunks(m_t, k: int, interpret: bool = False):
             + jnp.arange(RATIO, dtype=jnp.int32)[None, None, :]
         ).reshape(tile, RATIO * kc)
         _, pos = _topk(sub.reshape(tile, RATIO * kc), ks)
-        return jnp.take_along_axis(sub_ids, pos, axis=1)  # (tile, ks)
+        return jnp.take_along_axis(sub_ids, pos, axis=1).T  # (ks, tile)
 
     if tile == nq:
         return body(0)
-    out = lax.map(body, jnp.arange(nq // tile))
-    return out.reshape(nq, ks)
+    out = lax.map(body, jnp.arange(nq // tile))     # (nblk, ks, tile)
+    return jnp.swapaxes(out, 0, 1).reshape(ks, nq)
 
 
 @jax.jit
@@ -313,30 +319,55 @@ def _chunked_view(data, data_valid):
     return x.reshape(-1, SUB, dpad), dn.reshape(-1, SUB)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _rescore_chunks(query, data3, dn2, top_sub, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "with_scores"))
+def _rescore_chunks(query, data3, dn2, top_sub_t, k: int,
+                    with_scores: bool = True):
     """Gather the selected sub-chunks as whole (SUB, dpad) blocks and
-    rescore exactly on the MXU.
+    rescore exactly on the MXU. ``top_sub_t`` is TRANSPOSED (kc, nq), as
+    _select_subchunks emits it.
 
     Sub-chunk-granular gathers move 8 KB contiguous slices — 4x fewer bytes
     than 128-row chunks for the same k gathers per query (194 vs 277 ms at
     98304^2, d=50, k=20); per-row gathers are ~14x slower than 128-row
-    (4583 ms)."""
+    (4583 ms).
+
+    The lax.map carriers are stacked TRANSPOSED — (ntiles, dpad, T) and
+    (ntiles, kc, T) with the 128-aligned tile dim minor — because an
+    (ntiles, T, small) stack tiles its sub-128 minor dim up to 128 lanes
+    and crosses the TPU runtime's 2^31-byte buffer limit at ~4-8M query
+    rows, which kernel-faults the worker when the loop dynamic-slices it
+    (the 10M config-5 fault; see _knn_two_pass). The per-tile transposes
+    inside the map body are VMEM-local relayouts, invisible next to the
+    gather+einsum. ``with_scores=False`` skips the squared-distance
+    output: at a (5M, k=20) result that buffer tiles k up to 128 lanes —
+    2.56 GB of HBM — and the MNN membership test never reads it."""
     acc = jnp.float32
     nq, d0 = query.shape
     dpad = data3.shape[2]
-    kc = top_sub.shape[1]
-    q = _pad_axis(query.astype(acc), dpad, 1)
-    qn = jnp.sum(jnp.square(q), axis=1)
+    kc = top_sub_t.shape[0]
+    # qn and the tile stack are built from the TRANSPOSED query so the
+    # padded (nq, dpad) intermediate (1.28 GB at 5M rows) never exists
+    qt_all = _pad_axis(query.astype(acc).T, dpad, 0)   # (dpad, nq)
+    qn = jnp.sum(jnp.square(qt_all), axis=0)
 
     nq_pad = -(-nq // RESCORE_TILE) * RESCORE_TILE
-    qp = _pad_axis(q, RESCORE_TILE, 0)
-    tcp = _pad_axis(top_sub, RESCORE_TILE, 0)
     ntiles = nq_pad // RESCORE_TILE
+    qp_t = jnp.swapaxes(
+        _pad_axis(qt_all, RESCORE_TILE * ntiles, 1).reshape(
+            dpad, ntiles, RESCORE_TILE
+        ), 0, 1,
+    )                                               # (ntiles, dpad, T)
+    tcp_t = jnp.swapaxes(
+        _pad_axis(top_sub_t, RESCORE_TILE * ntiles, 1).reshape(
+            kc, ntiles, RESCORE_TILE
+        ), 0, 1,
+    )                                               # (ntiles, kc, T)
     offs = jnp.arange(SUB, dtype=jnp.int32)
 
     def rescore(args):
-        qt, ct = args                               # (T, dpad), (T, kc)
+        qt_t, ct_t = args                           # (dpad, T), (kc, T)
+        qt = qt_t.T                                 # (T, dpad)
+        ct = ct_t.T                                 # (T, kc)
         gx = data3[ct]                              # (T, kc, SUB, dpad)
         gdn = dn2[ct]                               # (T, kc, SUB)
         s = 2.0 * jnp.einsum(
@@ -349,17 +380,13 @@ def _rescore_chunks(query, data3, dn2, top_sub, k: int):
         )
         vals, pos = lax.top_k(s, k)
         idx = jnp.take_along_axis(cols, pos, axis=1)
-        return idx, vals
+        return idx.T, vals.T                        # (k, T)
 
-    idx, vals = lax.map(
-        rescore,
-        (
-            qp.reshape(ntiles, RESCORE_TILE, dpad),
-            tcp.reshape(ntiles, RESCORE_TILE, kc),
-        ),
-    )
-    idx = idx.reshape(-1, k)[:nq]
-    vals = vals.reshape(-1, k)[:nq]
+    idx_t, vals_t = lax.map(rescore, (qp_t, tcp_t))
+    idx = jnp.swapaxes(idx_t, 0, 1).reshape(k, -1)[:, :nq].T
+    if not with_scores:
+        return idx, None
+    vals = jnp.swapaxes(vals_t, 0, 1).reshape(k, -1)[:, :nq].T
     sq = jnp.maximum(qn[:, None] - vals, 0.0)
     return idx, sq
 
@@ -374,8 +401,45 @@ import os as _os
 MT_BUDGET = int(_os.environ.get("BT_KNN_MT_BUDGET", 2 << 30))
 
 
+# max query rows processed by ONE pass-1 scan program / ONE rescore call.
+# Every stacked loop carrier is transposed so its minor dim is the
+# 128-aligned query-row dim (see _rescore_chunks), which keeps carriers
+# ~5x smaller than the naive orientation — but each individual buffer must
+# still stay under the TPU runtime's 2^31-byte limit (a dynamic-slice into
+# a larger buffer kernel-faults the axon worker: measured clean at 2.5M
+# query rows, faulting at 5M, in the 10M config-5 bisection). 4M rows caps
+# the transposed f32 stack at 4M * 56 * 4 = 0.9 GB and the rescore's qp_t
+# at 4M * 64 * 4 = 1.0 GB. Host-side grouping above the cap costs one
+# extra program invocation per 4M rows — negligible next to the search.
+GROUP_ROWS = int(_os.environ.get("BT_KNN_GROUP_ROWS", 1 << 22))
+
+# max pass-1 scores (query rows x data rows) per scan-group PROGRAM. The
+# axon worker kills long-running programs as a kernel fault: measured on
+# the 10M config-5 bisection, a single pass1+select program computing
+# 2.1e13 scores (~90-120 s) dies while 1.6e13 (the 87 s split-search
+# programs) and below run clean. 8e12 keeps each group program at ~45 s
+# (measured at 5M x 5M: 4 groups x 45.8 s), well under the wall, for one
+# extra dispatch per group (~0.5 s). Override via BT_KNN_GROUP_SCORES.
+GROUP_SCORES = int(_os.environ.get("BT_KNN_GROUP_SCORES", 8_000_000_000_000))
+
+
+def _stage_sync(tag, x):
+    """BT_KNN_STAGE_DEBUG=1: hard completion barrier + timing print after
+    each eager kNN stage, so an axon worker fault localizes to the stage
+    that caused it (async dispatch otherwise surfaces it at an arbitrary
+    later call). No-op unless the env var is set."""
+    if not _os.environ.get("BT_KNN_STAGE_DEBUG"):
+        return
+    import time as _t
+
+    t0 = _t.perf_counter()
+    _ = float(jnp.sum(x[..., :1, :1] if x.ndim >= 2 else x[..., :1]))
+    print(f"[knn] {tag}: +{_t.perf_counter() - t0:.2f}s", flush=True)
+
+
 def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False,
-                  bf16: bool = False, six_pass: bool = False):
+                  bf16: bool = False, six_pass: bool = False,
+                  with_scores: bool = True):
     """Stage orchestrator. Stages are separately jitted so each gets its
     own input layouts (see _rescore_chunks); when this function is itself
     traced inside a larger jit the stages inline and behave as one
@@ -385,14 +449,17 @@ def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False,
     buffer would exceed MT_BUDGET: m_t is the only O(N_q * N_d) HBM object
     left in the pipeline, so piecing the queries bounds device memory for
     arbitrarily large merge steps (a 1M x 126k step would otherwise need a
-    15.7 GB buffer — over the whole v5e HBM)."""
+    15.7 GB buffer — over the whole v5e HBM). Above GROUP_ROWS query rows
+    the piece scan and the rescore additionally run in host-level groups
+    so no loop carrier crosses the 2^31-byte buffer limit."""
     nq = query.shape[0]
+    d = query.shape[1]
     ndp = -(-data.shape[0] // DT) * DT
     nqp = -(-nq // QT) * QT
     npieces = max(1, -(-(4 * (ndp // SUB) * nqp) // MT_BUDGET))
-    if npieces == 1:
+    if npieces == 1 and nq <= GROUP_ROWS:
         m_t = _prep_pass1(query, data, data_valid, interpret, bf16, six_pass)
-        top_sub = _select_subchunks(m_t, k, interpret)[:nq]
+        top_sub_t = _select_subchunks(m_t, k, interpret)[:, :nq]
     else:
         # scan over equal-size query pieces: one m_t buffer is live at a
         # time AND the trace holds ONE piece body — a Python loop here
@@ -400,18 +467,63 @@ def _knn_two_pass(query, data, k: int, data_valid, interpret: bool = False,
         # the compile (the round-3 "never unroll device loops" lesson)
         qchunk = QT * (-(-(-(-nq // npieces)) // QT))
         npieces = -(-nq // qchunk)
-        qs_stack = jnp.pad(
-            query, ((0, npieces * qchunk - nq), (0, 0))
-        ).reshape(npieces, qchunk, query.shape[1])
+        gpieces = max(1, min(GROUP_ROWS // qchunk,
+                             int(GROUP_SCORES // (qchunk * ndp))))
+        ngroups = -(-npieces // gpieces)
+        npieces = ngroups * gpieces               # pad to equal groups
+        # the piece stack is built TRANSPOSED — (npieces, d, qchunk) with
+        # the 128-aligned qchunk minor — because (npieces, qchunk, d)
+        # tiles d (e.g. 50) up to 128 lanes and crosses 2^31 bytes at
+        # >= ~4.2M rows, kernel-faulting the scan's dynamic-slice.
+        qs_t = jnp.swapaxes(
+            _pad_axis(query.T, npieces * qchunk, 1).reshape(
+                d, npieces, qchunk
+            ), 0, 1,
+        )                                          # (npieces, d, qchunk)
 
-        def piece(carry, qs):
-            m_t = _prep_pass1(qs, data, data_valid, interpret, bf16, six_pass)
+        def piece(carry, qs_t_i):
+            m_t = _prep_pass1(
+                qs_t_i.T, data, data_valid, interpret, bf16, six_pass
+            )
             return carry, _select_subchunks(m_t, k, interpret)
 
-        _, tops = jax.lax.scan(piece, 0, qs_stack)
-        top_sub = tops.reshape(npieces * qchunk, -1)[:nq]
+        _stage_sync("qs_t stack", qs_t)
+        tops = []
+        for g in range(ngroups):
+            _, tg = jax.lax.scan(
+                piece, 0, lax.slice_in_dim(qs_t, g * gpieces,
+                                           (g + 1) * gpieces, axis=0)
+            )
+            _stage_sync(f"pass1+select group {g}/{ngroups}", tg)
+            tops.append(tg)                        # (gpieces, ks, qchunk)
+        tops = tops[0] if ngroups == 1 else jnp.concatenate(tops, axis=0)
+        top_sub_t = jnp.swapaxes(tops, 0, 1).reshape(
+            tops.shape[1], npieces * qchunk
+        )[:, :nq]                                  # (ks, nq)
+        # the piece stack and the per-group selections are dead now; at a
+        # 5M-row search they hold ~2.7 GB the rescore needs back
+        del qs_t, tops
+        _stage_sync("top_sub_t", top_sub_t)
     data3, dn2 = _chunked_view(data, data_valid)
-    return _rescore_chunks(query, data3, dn2, top_sub, k)
+    _stage_sync("chunked view", data3)
+    if nq <= GROUP_ROWS:
+        return _rescore_chunks(query, data3, dn2, top_sub_t, k,
+                               with_scores=with_scores)
+    grows = -(-GROUP_ROWS // RESCORE_TILE) * RESCORE_TILE
+    idxs, sqs = [], []
+    for g0 in range(0, nq, grows):
+        g1 = min(g0 + grows, nq)
+        ig, sg = _rescore_chunks(
+            query[g0:g1], data3, dn2, top_sub_t[:, g0:g1], k,
+            with_scores=with_scores,
+        )
+        _stage_sync(f"rescore rows {g0}-{g1}", ig)
+        idxs.append(ig)
+        sqs.append(sg)
+    idx = jnp.concatenate(idxs, axis=0)
+    if not with_scores:
+        return idx, None
+    return idx, jnp.concatenate(sqs, axis=0)
 
 
 def query_knn_tpu(
@@ -424,6 +536,7 @@ def query_knn_tpu(
     squared: bool = False,
     bf16: bool = False,
     exact_selection: bool = False,
+    indices_only: bool = False,
 ):
     """Exact kNN via the fused sub-chunk-max kernel + hierarchical rescore.
 
@@ -448,6 +561,9 @@ def query_knn_tpu(
         valid = jnp.ones((nd,), dtype=bool)
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
     idx, sq = _knn_two_pass(query, data, k, valid, interpret, bf16,
-                            exact_selection and not bf16)
+                            exact_selection and not bf16,
+                            with_scores=not indices_only)
+    if indices_only:
+        return KNNResult(idx, None)
     dist = sq if squared else jnp.sqrt(sq)
     return KNNResult(idx, dist)

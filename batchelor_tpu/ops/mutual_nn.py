@@ -70,22 +70,33 @@ def membership_rows(l2r: jnp.ndarray, r2l: jnp.ndarray, row_ids: jnp.ndarray,
                     chunk: int = 1 << 16) -> jnp.ndarray:
     """mask[i, p] = row_ids[i] in r2l[l2r[i, p]], computed in row blocks so
     the (N1, k2, k1) gather never materializes at once (jit-traceable;
-    used inside the fused/distributed merge steps at large N)."""
+    used inside the fused/distributed merge steps at large N).
+
+    The lax.map carrier and per-block outputs are TRANSPOSED — (nblk, k2,
+    chunk) with the 128-aligned chunk dim minor — because an (nblk, chunk,
+    k2) int32 stack tiles k2 (20) up to 128 lanes and crosses the TPU
+    runtime's 2^31-byte buffer limit at N1 >= ~4.2M rows, kernel-faulting
+    the loop's dynamic-slice (same fault class as the kNN piece scan,
+    ops/knn_pallas.py GROUP_ROWS)."""
     nsl, k2 = l2r.shape
     chunk = min(chunk, max(nsl, 1))
     nblk = -(-nsl // chunk)
     pad = nblk * chunk - nsl
-    l2r_p = jnp.pad(l2r, ((0, pad), (0, 0)))
+    l2r_t = jnp.swapaxes(
+        jnp.pad(l2r, ((0, pad), (0, 0))).T.reshape(k2, nblk, chunk), 0, 1
+    )                                         # (nblk, k2, C)
     ids_p = jnp.pad(row_ids, (0, pad), constant_values=-1)
 
     def blk(args):
-        rows, ids = args                      # (C, k2), (C,)
-        return jnp.any(r2l[rows] == ids[:, None, None], axis=-1)
+        rows_t, ids = args                    # (k2, C), (C,)
+        return jnp.any(
+            r2l[rows_t.T] == ids[:, None, None], axis=-1
+        ).T                                   # (k2, C)
 
-    mask = jax.lax.map(
-        blk, (l2r_p.reshape(nblk, chunk, k2), ids_p.reshape(nblk, chunk))
-    ).reshape(-1, k2)[:nsl]
-    return mask
+    mask_t = jax.lax.map(
+        blk, (l2r_t, ids_p.reshape(nblk, chunk))
+    )                                         # (nblk, k2, C)
+    return jnp.swapaxes(mask_t, 0, 1).reshape(k2, -1)[:, :nsl].T
 
 
 def mutual_nn_masks(left, right, k1: int, k2: int, method: str = "exact"):

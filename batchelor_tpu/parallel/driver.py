@@ -15,6 +15,7 @@ checkpoint/resume.
 from __future__ import annotations
 
 import functools
+import os as _os
 import time as _time
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
@@ -169,12 +170,15 @@ def _avg2_phase(lc, rc, mutual, l2r):
     return sums / jnp.maximum(counts, 1.0)[:, None]
 
 
-def _correct_b_phase(rc, idx, dist, avg2, magnitude, *, ndist: float,
+def _correct_b_phase(rc, idx, sq, avg2, magnitude, *, ndist: float,
                      min_batch_skip: float):
     """Phased step 5/5: tricube-weighted apply of the averaged corrections
-    (scan over neighbour positions, O(N2 d) memory like merge_step_correct)."""
+    (scan over neighbour positions, O(N2 d) memory like merge_step_correct).
+    Takes SQUARED tricube-kNN distances (query_knn squared=True) and roots
+    them here, inside the jit: a separate (N2, k) fp32 sqrt output buffer
+    is 2.56 GB tiled at a 5M-row step."""
     do_correct = magnitude >= min_batch_skip
-    w = tricube_weights(dist, ndist)
+    w = tricube_weights(jnp.sqrt(sq), ndist)
 
     def tric_pos(acc, args):
         idx_k, w_k = args
@@ -223,8 +227,28 @@ def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
         mask_and = jax.jit(lambda a, b: a & b)
         avg2_jit = jax.jit(_avg2_phase)
 
+        def _sync(tag, x):
+            # Hard completion barrier between phases: materialize ONE
+            # device-side scalar (block_until_ready can return early on the
+            # axon backend — NOTES measurement discipline). This both
+            # serializes compile-vs-execute on the worker (the async
+            # pipeline otherwise overlaps the next phase's multi-minute
+            # compile with a multi-GB execution) and makes a worker fault
+            # surface AT the phase that caused it instead of at an
+            # arbitrary later dispatch. Cost: one ~30 ms round trip per
+            # phase, invisible at the >=4.5M-pad scales that run phased.
+            t0 = _time.perf_counter()
+            if x.ndim >= 2:
+                x = x[..., :1, :1]
+            elif x.ndim == 1:
+                x = x[:1]
+            _ = float(jnp.sum(x))
+            if _os.environ.get("BT_PHASE_DEBUG"):
+                print(f"[phased] {tag}: +{_time.perf_counter() - t0:.2f}s",
+                      flush=True)
+
         def stepped(ldata, rdata, lvalid, rvalid, lres, rres,
-                    lorig, rorig, lex, rex):
+                    lorig, rorig, lex, rex, pair_meta=None):
             from batchelor_tpu.ops import knn_pallas as _kp
 
             # Halve the pass-1 piece budget for the phased step's eager
@@ -240,30 +264,53 @@ def _jitted_step(mesh: Mesh, k1: int, k2: int, tricube_k: int, ndist: float,
                     ldata, rdata, lvalid, rvalid, lres, rres, lorig, rorig,
                     lex, rex,
                 )
+                _sync("replay", ls)
                 # each kNN runs EAGERLY: knn_pallas's stage jits execute as
                 # separate programs with compact entry layouts between them
                 rmask = mask_and(rvalid, rres)
                 lmask = mask_and(lvalid, lres)
+                # indices_only: the MNN membership test never reads
+                # distances, and each (N, k) fp32 distance output is
+                # 2.56 GB tiled at a 5M-row side (k pads to 128 lanes)
                 l2r, _ = query_knn(ls, rs, k2, data_mask=rmask,
-                                   method=knn_method)
+                                   method=knn_method, indices_only=True)
+                _sync("knn l2r", l2r)
                 r2l, _ = query_knn(rs, ls, k1, data_mask=lmask,
-                                   method=knn_method)
+                                   method=knn_method, indices_only=True)
+                _sync("knn r2l", r2l)
                 del rmask, lmask
                 mutual, n_pairs = mem(l2r, r2l, lvalid, lres)
+                _sync("membership", n_pairs)
                 del r2l
                 lc, rc, involved, overall, mag, var_new = corr_a(
                     ls, rs, lvalid, rvalid, lres, rres, mutual, l2r,
                     lorig, rorig,
                 )
-                tmask = mask_and(involved, rvalid)
-                idx, dist = query_knn(rc, rc, tricube_k, data_mask=tmask,
-                                      method=knn_method)
-                del tmask, involved
+                _sync("correct_a", mag)
                 avg2 = avg2_jit(lc, rc, mutual, l2r)
-                right_out = corr_b(rc, idx, dist, avg2, mag)
+                _sync("avg2", avg2)
+                # compact + fetch the pair list NOW and drop mutual/l2r:
+                # they are 3.2 GB at a (5M, 5M) step and the tricube
+                # search that follows is the step's HBM peak (the driver
+                # normally fetches pairs after the step; here the tables
+                # would not survive that long)
+                pairs = None
+                if pair_meta is not None:
+                    with trace_span("driver/pairs"):
+                        pairs = _collect_pairs_dev(
+                            mesh, mutual, l2r, *pair_meta
+                        )
+                del mutual, l2r
+                tmask = mask_and(involved, rvalid)
+                idx, sq = query_knn(rc, rc, tricube_k, data_mask=tmask,
+                                    method=knn_method, squared=True)
+                _sync("knn tricube", idx)
+                del tmask, involved
+                right_out = corr_b(rc, idx, sq, avg2, mag)
+                _sync("correct_b", right_out)
             finally:
                 _kp.MT_BUDGET = mt_save
-            return (lc, right_out, overall, mag, n_pairs, mutual, l2r,
+            return (lc, right_out, overall, mag, n_pairs, pairs, None,
                     var_old, var_new)
 
         return stepped
@@ -948,9 +995,19 @@ def distributed_fast_mnn(
         rex = _padded_extras(right.extras, emax, d, dt)
         t0 = _time.perf_counter() if progress else 0.0
         with trace_span("driver/step", step=mdx):
+            kw = {}
+            if split == "phases":
+                # the phased step compacts + fetches pairs ITSELF, before
+                # its tricube search (so the 3.2 GB mutual/l2r tables are
+                # freed ahead of the step's HBM peak), and returns the
+                # host pair array in the mutual slot
+                kw["pair_meta"] = (
+                    (left.n, right.n) if collect_pairs else None
+                )
             lc, rc, overall, mag, n_pairs, mutual, l2r, var_old, var_new = step(
                 left.data, right.data, left.valid, right.valid, left.res,
                 right.res, left.origin_dev, right.origin_dev, lex, rex,
+                **kw,
             )
             mag_f = float(mag)
         if progress:
@@ -963,8 +1020,13 @@ def distributed_fast_mnn(
         skipped = mag_f < min_batch_skip
         pairs = np.empty((0, 2), dtype=np.int64)
         if collect_pairs:
-            with trace_span("driver/pairs", step=mdx):
-                pairs = _collect_pairs_dev(mesh, mutual, l2r, left.n, right.n)
+            if split == "phases":
+                pairs = mutual            # host array from the step
+            else:
+                with trace_span("driver/pairs", step=mdx):
+                    pairs = _collect_pairs_dev(
+                        mesh, mutual, l2r, left.n, right.n
+                    )
         # free step HBM before the concat/re-pad allocates the merged node
         # (mutual+l2r are ~1 GB at 10M-pad steps; the source node data is
         # not read by _concat_dev — it slices the corrected lc/rc)

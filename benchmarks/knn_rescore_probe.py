@@ -54,7 +54,7 @@ def main():
     dpad = 64
 
     m32 = jax.block_until_ready(kp._prep_pass1(query, data, valid))
-    top_sub = jax.block_until_ready(kp._select_subchunks(m32, K)[:N])
+    top_sub = jax.block_until_ready(kp._select_subchunks(m32, K)[:, :N])
     data3, dn2 = kp._chunked_view(data, valid)
 
     # pass 1: matmul FLOPs dominate (2 N^2 dpad fp32-HIGHEST)

@@ -47,16 +47,16 @@ def main():
     valid = jnp.ones((N,), dtype=bool)
 
     m_t = _prep_pass1(q, x, valid, False, False)
-    top_sub = jax.block_until_ready(_select_subchunks(m_t, K)[:N])
+    top_sub = jax.block_until_ready(_select_subchunks(m_t, K)[:, :N])
     data3, dn2 = _chunked_view(x, valid)
-    top_sorted = jax.block_until_ready(jnp.sort(top_sub, axis=1))
+    top_sorted = jax.block_until_ready(jnp.sort(top_sub, axis=0))
 
     t_plain = bench(_rescore_chunks, q, data3, dn2, top_sub, K)
     print(f"rescore, top-k order ids: {t_plain*1e3:.1f} ms", flush=True)
     t_sorted = bench(_rescore_chunks, q, data3, dn2, top_sorted, K)
     print(f"rescore, sorted ids:      {t_sorted*1e3:.1f} ms", flush=True)
 
-    sort_jit = jax.jit(lambda t: jnp.sort(t, axis=1))
+    sort_jit = jax.jit(lambda t: jnp.sort(t, axis=0))
     t0 = time.perf_counter()
     _ = jax.block_until_ready(sort_jit(top_sub))
     for _ in range(3):

@@ -149,3 +149,42 @@ def test_chunked_query_piecing_scan(rng, monkeypatch):
     out = query_knn(jnp.asarray(q), jnp.asarray(x), 5, method="chunked")
     assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
     assert np.allclose(np.asarray(ref.distances), np.asarray(out.distances))
+
+
+def test_chunked_group_loop_matches_single(rng, monkeypatch):
+    """The GROUP_ROWS host-level grouping (multiple scan programs + grouped
+    rescore calls, the >= ~4.2M-row regime where one stacked loop carrier
+    would cross the TPU runtime's 2^31-byte limit) is exact vs the
+    ungrouped path, including the uneven final rescore group."""
+    from batchelor_tpu.ops import knn_pallas as kp
+
+    q = rng.normal(size=(3100, 8)).astype(np.float32)
+    x = rng.normal(size=(2600, 8)).astype(np.float32)
+    ref = query_knn(jnp.asarray(q), jnp.asarray(x), 5, method="chunked")
+    # force ~3 scan pieces grouped 1-per-group and 1024-row rescore groups
+    monkeypatch.setattr(kp, "MT_BUDGET", 4 * (2600 // 32 + 32) * 512)
+    monkeypatch.setattr(kp, "GROUP_ROWS", 1024)
+    out = query_knn(jnp.asarray(q), jnp.asarray(x), 5, method="chunked")
+    assert np.array_equal(np.asarray(ref.indices), np.asarray(out.indices))
+    assert np.allclose(np.asarray(ref.distances), np.asarray(out.distances))
+
+
+def test_membership_rows_chunked_matches_flat(rng):
+    """membership_rows' transposed block-map (the 2^31-byte-safe carrier
+    layout) matches a flat numpy membership oracle across block splits."""
+    from batchelor_tpu.ops.mutual_nn import membership_rows
+
+    n1, n2, k1, k2 = 337, 251, 4, 5
+    l2r = rng.integers(0, n2, size=(n1, k2)).astype(np.int32)
+    r2l = rng.integers(0, n1, size=(n2, k1)).astype(np.int32)
+    ids = np.arange(n1, dtype=np.int32)
+    want = np.zeros((n1, k2), dtype=bool)
+    for i in range(n1):
+        for p in range(k2):
+            want[i, p] = i in r2l[l2r[i, p]]
+    for chunk in (64, 128, n1):
+        got = np.asarray(membership_rows(
+            jnp.asarray(l2r), jnp.asarray(r2l), jnp.asarray(ids),
+            chunk=chunk,
+        ))
+        assert np.array_equal(got, want)
