@@ -95,13 +95,17 @@ SPLIT_PAD_ROWS = 2_000_000
 # (N, 20) int carries 6.4x) and remat copies stack up to 17.5 GB
 # (round-5 compile-OOM breakdowns in NOTES); per-stage programs keep
 # every temp set bounded and pass intermediates in compact entry layouts.
-# Threshold set by measurement on the 10M config-5 run: the two-program
-# split runs clean through 4M pad rows (2M x 2M steps, 87-107 s) but the
-# 5M-pad (2.5M x 2.5M) split-search program still kernel-faults the axon
-# worker, while every phase runs clean in isolation at >= that shape
-# (NOTES round-4 bisection) — so phases take over above the measured-good
-# 4M split ceiling.
-PHASED_PAD_ROWS = 4_500_000
+# Threshold set by measurement on the 10M config-5 run: the axon worker
+# kills any single program whose runtime crosses ~90-120 s (NOTES
+# round-5 "program wall"), and a split-search program at >= 2M pad rows
+# sits within tunnel variance of that wall (observed both completing in
+# 87-107 s and kernel-faulting on the same shapes across runs). The
+# phased path bounds every program to ~60 s by construction (score-
+# budgeted kNN groups, small phase jits) and is probed clean at the
+# (5M, 5M) final step, so a 1-device mesh phases everything the split
+# threshold covers; the two-program split remains for multi-device
+# meshes, where shard_map keeps per-device work 1/ndev-sized.
+PHASED_PAD_ROWS = SPLIT_PAD_ROWS
 
 
 def _replay_phase(ldata, rdata, lvalid, rvalid, lres, rres, lorig, rorig,
